@@ -1,0 +1,218 @@
+"""Kinetic dispersion relation for 1D electrostatic Vlasov-Poisson plasma.
+
+Re-design of reference tools/dispersion.py (Python 2) for Python 3: solves
+
+    D(omega) = 1 + sum_s (n_s Z_s^2 / m_s) / (k^2 vth_s^2) (1 + zeta_s Z(zeta_s)) = 0
+    zeta_s = (omega / k - v0_s) / sqrt(2 vth_s^2),   vth_s^2 = T_s / m_s
+
+for complex omega via the plasma dispersion function Z (Faddeeva function,
+reference tools/dispersion.py:30-32) and Muller's complex root finder
+(:34-59), for any collection of (shifted) Maxwellian species.  A bump-on-tail
+or two-stream2 equilibrium is expressed as two Maxwellian species
+(`species_for_config`).
+
+Used as the accuracy oracle for growth/damping-rate integration tests
+(BASELINE.md): gamma_sim = energy-fit/2 must match Im(omega) from here.
+"""
+
+from __future__ import annotations
+
+import argparse
+import cmath
+import math
+from typing import Callable, Sequence
+
+import numpy as np
+from scipy import special
+
+
+def plasma_z(zeta: complex) -> complex:
+    """Plasma dispersion function Z(zeta) = i sqrt(pi) w(zeta)
+    (reference tools/dispersion.py:30-32)."""
+    return 1j * math.sqrt(math.pi) * special.wofz(zeta)
+
+
+def muller(func: Callable[[complex], complex], x0: complex, x1: complex,
+           x2: complex, functol: float = 1e-14, xtol: float = 1e-14,
+           niter_max: int = 100) -> complex:
+    """Muller's method complex root finder (reference tools/dispersion.py:34-59)."""
+    it = 0
+    while abs(func(x2)) > functol and abs(x2 - x1) > xtol and it < niter_max:
+        f0, f1, f2 = func(x0), func(x1), func(x2)
+        w = (f2 - f1) / (x2 - x1) + (f2 - f0) / (x2 - x0) - (f1 - f0) / (x1 - x0)
+        d = cmath.sqrt(w * w - 4.0 * f2 * (((f2 - f1) / (x2 - x1)
+                                            - (f1 - f0) / (x1 - x0)) / (x2 - x0) + 0j))
+        denom = w + d if abs(w + d) > abs(w - d) else w - d
+        x0, x1 = x1, x2
+        x2 = x1 - 2.0 * func(x1) / denom
+        it += 1
+    return x2
+
+
+class Species:
+    def __init__(self, charge: float, mass: float, temperature: float,
+                 density: float, v0: float):
+        self.charge = charge
+        self.mass = mass
+        self.temperature = temperature
+        self.density = density
+        self.v0 = v0
+
+
+class Dispersion:
+    """D(omega; k) for a set of shifted-Maxwellian species
+    (reference tools/dispersion.py:62-157)."""
+
+    def __init__(self, species: Sequence[Species], k: float):
+        self.species = list(species)
+        self.k = k
+        self._guesses = [0.4739 + 0.153j, 1.793 + 0.491j, 0.9371 + 0.287j]
+        self._omega: complex | None = None
+
+    @classmethod
+    def from_params(cls, params: Sequence[float], k: float) -> "Dispersion":
+        """Flat [Z, m, T, n, v0] * nspecies parameter list, the reference's
+        CLI convention (tools/dispersion.py:77-103)."""
+        if len(params) % 5:
+            raise ValueError("need 5 parameters (Z, m, T, n, v0) per species")
+        sp = [Species(*params[i:i + 5]) for i in range(0, len(params), 5)]
+        return cls(sp, k)
+
+    def set_k(self, k: float) -> None:
+        if k != self.k:
+            self.k = k
+            self._omega = None
+
+    def append_guess(self, guesses) -> None:
+        for g in guesses:
+            if g not in self._guesses[-1:]:
+                self._guesses = self._guesses[1:] + [g]
+
+    def dispfunc(self, omega: complex) -> complex:
+        d = 1.0 + 0j
+        for s in self.species:
+            vth2 = s.temperature / s.mass
+            zeta = (omega / self.k - s.v0) / math.sqrt(2.0 * vth2)
+            d += (s.density * s.charge**2 / s.mass) / (self.k**2 * vth2) \
+                * (1.0 + zeta * plasma_z(zeta))
+        return d
+
+    def solve_omega(self) -> complex:
+        if self._omega is None:
+            self._omega = muller(self.dispfunc, *self._guesses)
+            self.append_guess([self._omega])
+        return self._omega
+
+    def scan_k(self, k_values: Sequence[float]) -> np.ndarray:
+        """omega(k) scan with guess continuation (reference :266-299)."""
+        out = np.zeros(len(k_values), dtype=complex)
+        for i, k in enumerate(k_values):
+            self.set_k(k)
+            out[i] = self.solve_omega()
+        return out
+
+    def mode_structure(self, ispecies: int | None = None, v_max: float = 8.0,
+                       nx: int = 64, nv: int = 64):
+        """delta-f mode structure on the (x, v) plane for the solved omega
+        (reference tools/dispersion.py:159-206).  ispecies None => sum."""
+        omega = self.solve_omega()
+        x = (2.0 * np.pi / self.k) / nx * np.arange(nx + 1)
+        v = (2.0 * v_max) / (nv - 1) * np.arange(nv) - v_max
+        ms = np.zeros((nv, nx + 1))
+        spl = self.species if ispecies is None else [self.species[ispecies]]
+        for iv, vv in enumerate(v):
+            f_s = 0.0
+            for s in spl:
+                vth2 = s.temperature / s.mass
+                amp = s.charge / s.temperature * (vv - s.v0) \
+                    / math.sqrt(2.0 * math.pi * vth2) \
+                    * math.exp(-(vv - s.v0) ** 2 / (2.0 * vth2))
+                if ispecies is None:
+                    amp *= s.density
+                f_s += amp
+            harm = 1j / (omega - self.k * vv) * np.exp(1j * self.k * x[:nx])
+            ms[iv, :nx] = f_s * harm.real * 2.0
+        ms[:, nx] = ms[:, 0]
+        return x, v, ms
+
+
+def species_for_config(cfg) -> list[Species]:
+    """Maxwellian-equivalent species list for a Config, for comparing
+    simulated growth rates against kinetic theory.  bump-on-tail and
+    two-stream2 decompose into two Maxwellian components; two-stream1 has no
+    shifted-Maxwellian representation (raises)."""
+    from pic1dp_tpu.config import Equilibrium
+
+    out = []
+    for s in cfg.species:
+        if cfg.equilibrium == Equilibrium.MAXWELLIAN:
+            out.append(Species(s.charge, s.mass, s.temperature, s.density, s.v0))
+        elif cfg.equilibrium == Equilibrium.BUMP_ON_TAIL:
+            out.append(Species(s.charge, s.mass, s.temperature, s.density, 0.0))
+            out.append(Species(s.charge, s.mass, s.temperature2,
+                               1.0 - s.density, s.v0))
+        elif cfg.equilibrium == Equilibrium.TWO_STREAM2:
+            out.append(Species(s.charge, s.mass, s.temperature,
+                               0.5 * s.density, -s.v0))
+            out.append(Species(s.charge, s.mass, s.temperature,
+                               0.5 * s.density, s.v0))
+        else:
+            raise ValueError(f"no Maxwellian decomposition for {cfg.equilibrium}")
+    return out
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        description="Solve the kinetic dispersion relation of a 1D "
+        "electrostatic Vlasov-Poisson plasma of (shifted) Maxwellian species")
+    parser.add_argument("params", nargs="*", type=float,
+                        help="per species: charge Z, mass m, temperature T, "
+                        "density n, flow v0")
+    parser.add_argument("-ig", nargs="+", type=complex, metavar="<guess>",
+                        help="up to three initial guesses")
+    parser.add_argument("-k", nargs="+", type=float, default=[0.5],
+                        help="one k, or [start stop] range, or "
+                        "[first start stop]")
+    parser.add_argument("-sks", type=float, default=0.005,
+                        help="k scan step (default 0.005)")
+    parser.add_argument("-sms", action="store_true",
+                        help="save mode structure to file")
+    parser.add_argument("-vis", action="store_true",
+                        help="plot omega(k) and mode structure")
+    args = parser.parse_args(argv)
+
+    if len(args.params) < 5:
+        parser.error("need at least one species (5 parameters)")
+    disp = Dispersion.from_params(args.params, args.k[0])
+    if args.ig:
+        disp.append_guess(args.ig)
+    omega = disp.solve_omega()
+
+    def report(k, om):
+        vres = om.real / k
+        pct = om.imag / om.real * 100.0 if om.real else float("nan")
+        print(f"k = {k:.6g}: omega = {om:.6g} (gamma/omega_r = {pct:.3f} %)"
+              f" : v_res = {vres:.6g}")
+
+    report(disp.k, omega)
+    karr, oarr = [disp.k], [omega]
+    if len(args.k) >= 2:
+        lo, hi = (args.k[0], args.k[1]) if len(args.k) == 2 else (args.k[1], args.k[2])
+        karr = list(np.arange(lo, hi + args.sks, args.sks))
+        oarr = disp.scan_k(karr)
+        for k, om in zip(karr, oarr):
+            report(k, om)
+    if args.sms:
+        disp.set_k(args.k[0])
+        x, v, ms = disp.mode_structure()
+        np.savetxt("x_disp.dat", x)
+        np.savetxt("v_disp.dat", v)
+        np.savetxt("ptcldist_xv_disp.dat", ms)
+    if args.vis:
+        from pic1dp_tpu.analysis.visual_dispersion import show_dispersion
+        show_dispersion(disp, karr, oarr)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,177 @@
+"""End-to-end simulation driver.
+
+Reference equivalent: program pic1dp (src/pic1dp.F90:20-126): initialize,
+load, initial field solve, RK2 main loop with scheduled particle optimization
+and interval-based output, finalize with a timer report.
+
+The driver is host-side Python; everything per-step runs in one jitted
+XLA computation (core/step.py).  Output snapshots synchronize the device at
+most once per `output_interval`.
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pic1dp_tpu.config import Config
+from pic1dp_tpu.core import diagnostics
+from pic1dp_tpu.core.loading import PertbShape, load_particles
+from pic1dp_tpu.core.state import SimState
+from pic1dp_tpu.core.step import Stepper
+from pic1dp_tpu.io.writer import SnapshotWriter
+from pic1dp_tpu.utils.timers import PhaseTimers
+
+_EPS = math.sqrt(np.finfo(np.float64).eps)  # PETSC_SQRT_MACHINE_EPSILON
+
+
+class Simulation:
+    def __init__(self, cfg: Config, pertb_shape: PertbShape | None = None,
+                 out_path: str | None = None, emulate_ranks: int = 1):
+        self.cfg = cfg.validate()
+        self.stepper = Stepper(cfg)
+        self.pertb_shape = pertb_shape
+        self.emulate_ranks = emulate_ranks
+        self.timers = PhaseTimers()
+        self.writer = SnapshotWriter(cfg, out_path) if out_path is not None else None
+        self.state: SimState | None = None
+        self.itime = 0
+        self.time = 0.0
+        self.key = jax.random.PRNGKey(cfg.rng.seed)
+        # optimization schedule cursors (reference particle_imerge/iremove/
+        # isplit, src/pic1dp_particle.F90:26, :73-87)
+        self._imerge = 0
+        self._iremove = 0
+        self._isplit = 0
+        self._jit_energies = jax.jit(
+            lambda s: diagnostics.energies(cfg, self.stepper.sp, s)
+        )
+
+    # ---- lifecycle ----
+
+    def load(self) -> SimState:
+        """Load markers and solve the initial field
+        (reference src/pic1dp.F90:63-72)."""
+        with self.timers.phase("particle load"):
+            self.key, sub = jax.random.split(self.key)
+            state = load_particles(self.cfg, sub, self.pertb_shape,
+                                   self.emulate_ranks)
+            state = self.stepper.initial_field(state)
+            jax.block_until_ready(state.electric)
+        self.state = state
+        self.itime = 0
+        self.time = 0.0
+        return state
+
+    def _check_termination(self) -> bool:
+        """reference check_termination (src/pic1dp.F90:133-148)."""
+        return (self.itime >= self.cfg.ntime_max
+                or self.time + _EPS >= self.cfg.time_max)
+
+    def _output_due(self) -> bool:
+        """Time just crossed a full output interval
+        (reference src/pic1dp.F90:98-106)."""
+        interval = self.cfg.output_interval
+        return math.fmod(self.time + _EPS, interval) < \
+            math.fmod(self.time + _EPS - self.cfg.dt, interval)
+
+    def _optimization_due(self) -> tuple[float | None, float | None, float | None]:
+        """Thresholds for merge/remove/split if scheduled for this step
+        (reference particle_optimize, src/pic1dp_particle.F90:752-813)."""
+        opt = self.cfg.optimization
+        t_next = self.time + self.cfg.dt
+        merge = remove = split = None
+        if not self.cfg.deltaf:
+            return None, None, None  # delta-f only (reference :762)
+        if self._imerge < len(opt.tmerge) and t_next >= opt.tmerge[self._imerge]:
+            merge = opt.thshmerge[self._imerge]
+        if self._iremove < len(opt.tremove) and t_next >= opt.tremove[self._iremove]:
+            remove = (opt.thshremove[self._iremove]
+                      if opt.typeremove == 1 and opt.thshremove else 0.0)
+        if self._isplit < len(opt.tsplit) and t_next >= opt.tsplit[self._isplit]:
+            split = opt.thshsplit[self._isplit]
+        return merge, remove, split
+
+    def step_once(self) -> None:
+        """Advance one full RK2 step, applying scheduled optimization."""
+        assert self.state is not None, "call load() first"
+        merge, remove, split = self._optimization_due()
+        if merge is None and remove is None and split is None:
+            self.state = self.stepper.step(self.state)
+        else:
+            from pic1dp_tpu.core import optimize as opt_mod
+
+            state = self.stepper.push_pair(self.state)
+            self.key, sub = jax.random.split(self.key)
+            state = opt_mod.apply_optimizations(
+                self.cfg, self.stepper.sp, state, sub,
+                merge=merge, remove=remove, split=split,
+            )
+            if merge is not None:
+                self._imerge += 1
+            if remove is not None:
+                self._iremove += 1
+            if split is not None:
+                self._isplit += 1
+            self.state = self.stepper.collect_and_solve(state)
+            if self.cfg.verbosity >= 1:
+                n = int(np.sum(np.asarray(self.state.nparticles())))
+                self._print(f"optimization performed, current # of particles {n}")
+        self.itime += 1
+        self.time += self.cfg.dt
+
+    def output_snapshot(self) -> dict:
+        """Compute + (optionally) write one snapshot; returns the scalars."""
+        assert self.state is not None
+        with self.timers.phase("output"):
+            eng = self._jit_energies(self.state)
+            ptcl = diagnostics.ptcldist(self.cfg, self.stepper.sp, self.state)
+            eng = jax.tree_util.tree_map(np.asarray, eng)
+            if self.writer is not None:
+                self.writer.write_snapshot(
+                    self.time, eng, self.state.mode_re, self.state.mode_im,
+                    self.state.electric, self.state.rho, ptcl,
+                )
+        if self.cfg.verbosity >= 1:
+            self._print_progress(float(eng.field))
+        return {"time": self.time, "field_energy": float(eng.field),
+                "marker": eng.marker, "total": eng.total, "pertb": eng.pertb}
+
+    def run(self, snapshot_callback: Callable[[dict], None] | None = None) -> None:
+        """Main loop (reference src/pic1dp.F90:77-109)."""
+        if self.state is None:
+            self.load()
+        if self.cfg.verbosity >= 1:
+            self._print("progress:\nprogrss  itime     time  int E^2 dx")
+        snap = self.output_snapshot()  # t = 0 snapshot (reference :74)
+        if snapshot_callback:
+            snapshot_callback(snap)
+        while not self._check_termination():
+            with self.timers.phase("step"):
+                self.step_once()
+            if self._output_due() or self._check_termination():
+                jax.block_until_ready(self.state.electric)
+                snap = self.output_snapshot()
+                if snapshot_callback:
+                    snapshot_callback(snap)
+        if self.writer is not None:
+            self.writer.close()
+        if self.cfg.verbosity >= 1:
+            self._print(self.timers.report())
+
+    # ---- logging (reference output_progress, src/pic1dp_output.F90:483-548) ----
+
+    def _print(self, msg: str) -> None:
+        print(msg, file=sys.stderr)
+
+    def _print_progress(self, field_energy: float) -> None:
+        pi = 100.0 * self.itime / self.cfg.ntime_max
+        pt = 100.0 * self.time / self.cfg.time_max
+        tag, pct = ("i", pi) if pi >= pt else ("t", pt)
+        self._print(f"{tag}{pct:5.1f}% {self.itime:7d} {self.time:9.3f} "
+                    f"{field_energy:12.3e}")

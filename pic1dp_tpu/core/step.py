@@ -1,0 +1,170 @@
+"""The RK2 time step: gather -> push -> deposit -> spectral solve.
+
+Reference semantics (src/pic1dp.F90:78-109 main loop,
+src/pic1dp_interaction.F90 push/deposit, src/pic1dp_field.F90 solve):
+
+Per step, two Runge-Kutta (midpoint) substeps.  Substep 1 integrates from the
+step-start backups with dt/2; substep 2 re-integrates from the same backups
+with the full dt using midpoint fields/velocities
+(reference src/pic1dp_interaction.F90:178-193).  Within a substep the update
+order matters and is preserved exactly (:238-339):
+
+    E_p   = gather(E, x)                      # hat weights at current x
+    x_new = x_bak + dt_eff * v                # current v (midpoint v in ss2)
+    w_new = w_bak + dt_eff * drive * (-f0'/f0)(v) * (q/m)   # delta-f only
+            drive = p * E_p (linear) or (p - w) * E_p (nonlinear)
+    v_new = v_bak + dt_eff * E_p * (q/m)      # nonlinear only (v frozen if linear)
+
+then charge deposition (delta-f: w; full-f: p then subtract equilibrium,
+reference src/pic1dp_interaction.F90:51-70,142-148) and the partial-DFT field
+solve.  Both substeps live inside ONE jitted function, so the x/v/w backups
+(reference Vecs src/pic1dp_particle.F90:34-36) are compiler temporaries.
+
+The step is written in pure jnp on stacked (nspecies, nparticle) arrays;
+under pjit with the particle axis sharded, XLA turns the deposition reduction
+into local partial sums + an ICI psum automatically — the TPU-native
+equivalent of the reference's replicate-and-MPI_Allreduce deposition
+(src/pic1dp_interaction.F90:130-135).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from pic1dp_tpu import distributions as dist
+from pic1dp_tpu.config import Config, DepositMethod
+from pic1dp_tpu.core.state import SimState
+from pic1dp_tpu.ops import deposit as deposit_ops
+from pic1dp_tpu.ops import gather as gather_ops
+from pic1dp_tpu.ops.interp import wrap_x
+from pic1dp_tpu.ops.spectral import SpectralOperator
+
+
+class Stepper:
+    """Precompiled step functions for a fixed Config."""
+
+    def __init__(self, cfg: Config):
+        cfg.validate()
+        self.cfg = cfg
+        self.dtype = jnp.dtype(cfg.dtype)
+        self.spectral = SpectralOperator.create(cfg.nx, cfg.modes, cfg.lx, self.dtype)
+        self.sp = dist.SpeciesParams.from_config(cfg, self.dtype)
+        self.step = jax.jit(self._step)
+        self.initial_field = jax.jit(self._initial_field)
+
+    # ---- pieces ----
+
+    def _gather(self, x, electric):
+        """E at particle positions, stacked species."""
+        cfg = self.cfg
+        flat = gather_ops.gather(
+            x.reshape(-1), electric, cfg.lx, cfg.nx,
+            method="take", chunk=cfg.deposit_chunk,
+        )
+        return flat.reshape(x.shape)
+
+    def deposit_charge(self, x, p, w, live):
+        """Charge density on the grid (reference interaction_collect_charge,
+        src/pic1dp_interaction.F90:33-155)."""
+        cfg = self.cfg
+        val = w if cfg.deltaf else p
+        val = jnp.where(live, val, 0.0) * self.sp.charge
+        grid = deposit_ops.deposit(
+            x.reshape(-1), val.reshape(-1), cfg.lx, cfg.nx,
+            method=cfg.deposit_method.value
+            if cfg.deposit_method != DepositMethod.PALLAS else "onehot",
+            chunk=cfg.deposit_chunk,
+        )
+        rho = grid * (cfg.nx / cfg.lx)
+        if not cfg.deltaf:
+            # subtract equilibrium charge density (reference :142-148)
+            rho = rho - jnp.sum(self.sp.charge * self.sp.density)
+        return rho
+
+    def _push(self, x, v, p, w, x_bak, v_bak, w_bak, electric, dt_eff):
+        """One RK substep particle push (see module docstring for ordering)."""
+        cfg = self.cfg
+        sp = self.sp
+        q_over_m = sp.charge / sp.mass
+        e_p = self._gather(x, electric)
+
+        x_new = wrap_x(x_bak + dt_eff * v, cfg.lx)
+
+        if cfg.deltaf:
+            drive = (p * e_p) if cfg.linear else ((p - w) * e_p)
+            kern = dist.minus_dlnf0_dv(cfg.equilibrium, sp, v)
+            w_new = w_bak + dt_eff * drive * kern * q_over_m
+        else:
+            w_new = w
+
+        if cfg.linear:
+            v_new = v
+        else:
+            v_new = v_bak + dt_eff * e_p * q_over_m
+        return x_new, v_new, w_new
+
+    def solve_field(self, rho):
+        return self.spectral.solve(rho)
+
+    # ---- jitted entry points ----
+
+    def _initial_field(self, state: SimState) -> SimState:
+        """Deposit + solve for the freshly loaded state
+        (reference src/pic1dp.F90:70-72)."""
+        rho = self.deposit_charge(state.x, state.p, state.w, state.live)
+        electric, mre, mim = self.solve_field(rho)
+        return SimState(x=state.x, v=state.v, p=state.p, w=state.w,
+                        live=state.live, rho=rho, electric=electric,
+                        mode_re=mre, mode_im=mim)
+
+    def _step(self, state: SimState) -> SimState:
+        """One full RK2 step (two substeps), no particle optimization."""
+        cfg = self.cfg
+        dt = jnp.asarray(cfg.dt, self.dtype)
+        x0, v0, w0 = state.x, state.v, state.w
+        p, live = state.p, state.live
+
+        # substep 1: half step from (x0, v0, w0)
+        x1, v1, w1 = self._push(x0, v0, p, w0, x0, v0, w0, state.electric, 0.5 * dt)
+        rho1 = self.deposit_charge(x1, p, w1, live)
+        e1, _, _ = self.solve_field(rho1)
+
+        # substep 2: full step from the same backups, midpoint quantities
+        x2, v2, w2 = self._push(x1, v1, p, w1, x0, v0, w0, e1, dt)
+        rho2 = self.deposit_charge(x2, p, w2, live)
+        e2, mre, mim = self.solve_field(rho2)
+
+        return SimState(x=x2, v=v2, p=p, w=w2, live=live,
+                        rho=rho2, electric=e2, mode_re=mre, mode_im=mim)
+
+    def push_pair(self, state: SimState):
+        """Both RK substeps' pushes WITHOUT the final deposit/solve; used by
+        the optimization path, which runs merge/remove/split after the second
+        push and before the final charge collection (reference
+        src/pic1dp.F90:79-90 with particle_optimize acting on irk == 2).
+
+        Returns the state after substep 2's push with stale field quantities.
+        """
+        cfg = self.cfg
+        dt = jnp.asarray(cfg.dt, self.dtype)
+        x0, v0, w0 = state.x, state.v, state.w
+        p, live = state.p, state.live
+        x1, v1, w1 = self._push(x0, v0, p, w0, x0, v0, w0, state.electric, 0.5 * dt)
+        rho1 = self.deposit_charge(x1, p, w1, live)
+        e1, _, _ = self.solve_field(rho1)
+        x2, v2, w2 = self._push(x1, v1, p, w1, x0, v0, w0, e1, dt)
+        return SimState(x=x2, v=v2, p=p, w=w2, live=live,
+                        rho=rho1, electric=e1, mode_re=state.mode_re,
+                        mode_im=state.mode_im)
+
+    def collect_and_solve(self, state: SimState) -> SimState:
+        """Final deposit + solve after optimization."""
+        rho = self.deposit_charge(state.x, state.p, state.w, state.live)
+        electric, mre, mim = self.solve_field(rho)
+        return SimState(x=state.x, v=state.v, p=state.p, w=state.w,
+                        live=state.live, rho=rho, electric=electric,
+                        mode_re=mre, mode_im=mim)

@@ -1,0 +1,84 @@
+"""Charge deposition (scatter, S^T w in the vector-matrix formulation).
+
+The reference deposits particle weights onto the grid either through a PETSc
+shape-matrix transpose SpMV (reference src/pic1dp_interaction.F90:46-78) or a
+per-rank local array accumulation followed by MPI_Allreduce (:80-151).
+
+TPU has no fast random scatter, so the TPU-native formulation turns the
+scatter into a dense contraction: for a chunk of C particles build the hat
+"one-hot" matrix H (C x nx) with w0 at column ix0 and w1 at column ix1, and
+reduce over the particle axis — an MXU/VPU-friendly reduction XLA fuses
+without materializing H in HBM.  Chunks stream through a lax.scan carry so
+memory stays O(chunk * nx).
+
+Under pjit/shard_map with the particle axis sharded, each device reduces its
+own chunk stream and the per-device partial grids are combined with a psum —
+exactly the reference's replicate-and-Allreduce strategy (SURVEY.md 2.3) with
+the Allreduce riding ICI.
+
+A segment-sum variant is kept as a correctness baseline; the Pallas fused
+kernel (ops/pallas_kernels.py) is the production path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from pic1dp_tpu.ops.interp import hat_x
+
+
+def _pad_to_multiple(arrs, chunk: int, pad_values):
+    n = arrs[0].shape[-1]
+    rem = (-n) % chunk
+    if rem == 0:
+        return arrs, n
+    padded = tuple(
+        jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, rem)], constant_values=pv)
+        for a, pv in zip(arrs, pad_values)
+    )
+    return padded, n
+
+
+@functools.partial(jax.jit, static_argnames=("nx", "chunk"))
+def deposit_onehot(x: jnp.ndarray, val: jnp.ndarray, lx, nx: int,
+                   chunk: int = 16384) -> jnp.ndarray:
+    """Deposit `val` at positions `x` (already wrapped into [0, lx)) onto an
+    nx-cell periodic grid with hat weights.  x, val: (N,) -> (nx,)."""
+    (x, val), _ = _pad_to_multiple((x, val), chunk, (0.0, 0.0))
+    n = x.shape[0]
+    nchunk = n // chunk
+    xc = x.reshape(nchunk, chunk)
+    vc = val.reshape(nchunk, chunk)
+    iota = jnp.arange(nx, dtype=jnp.int32)
+
+    def body(acc, args):
+        xs, vs = args
+        ix0, ix1, w0, w1 = hat_x(xs, lx, nx)
+        # (chunk, nx) one-hot contributions; XLA fuses this into the reduce,
+        # so the intermediate never hits HBM.
+        contrib = jnp.where(ix0[:, None] == iota, (w0 * vs)[:, None], 0.0) + \
+                  jnp.where(ix1[:, None] == iota, (w1 * vs)[:, None], 0.0)
+        return acc + jnp.sum(contrib, axis=0), None
+
+    grid0 = jnp.zeros((nx,), dtype=val.dtype)
+    grid, _ = jax.lax.scan(body, grid0, (xc, vc))
+    return grid
+
+
+@functools.partial(jax.jit, static_argnames=("nx",))
+def deposit_segment(x: jnp.ndarray, val: jnp.ndarray, lx, nx: int) -> jnp.ndarray:
+    """Scatter-add deposition via segment_sum (correctness baseline)."""
+    ix0, ix1, w0, w1 = hat_x(x, lx, nx)
+    idx = jnp.concatenate([ix0, ix1])
+    w = jnp.concatenate([w0 * val, w1 * val])
+    return jax.ops.segment_sum(w, idx, num_segments=nx)
+
+
+def deposit(x, val, lx, nx: int, method: str = "onehot", chunk: int = 16384):
+    """Dispatch on deposit method ('onehot' | 'segment')."""
+    if method == "segment":
+        return deposit_segment(x, val, lx, nx)
+    return deposit_onehot(x, val, lx, nx, chunk=min(chunk, x.shape[-1]) or 1)

@@ -1,0 +1,151 @@
+"""Unit tests for interpolation, deposition, gather, and the spectral solve.
+
+Covers the oracle properties SURVEY.md section 4 calls for: hat-weight
+partition of unity, deposition/gather adjointness (S vs S^T), and the
+spectral solve against analytic cos/sin fields.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pic1dp_tpu.ops import deposit as dep
+from pic1dp_tpu.ops import gather as gat
+from pic1dp_tpu.ops.interp import hat_v, hat_v_clipped, hat_x, wrap_x
+from pic1dp_tpu.ops.spectral import SpectralOperator
+
+LX = 2.0 * np.pi / 0.36
+NX = 192
+
+
+def rand_x(key, n, lx=LX):
+    return jax.random.uniform(key, (n,), jnp.float64) * lx
+
+
+class TestInterp:
+    def test_wrap(self):
+        x = jnp.array([-0.1, 0.0, LX - 1e-9, LX, LX + 0.3, -LX - 0.2])
+        w = wrap_x(x, LX)
+        assert jnp.all((w >= 0) & (w < LX))
+        np.testing.assert_allclose(w[0], LX - 0.1, rtol=1e-12)
+        np.testing.assert_allclose(w[4], 0.3, rtol=1e-9)
+
+    def test_partition_of_unity(self):
+        x = rand_x(jax.random.PRNGKey(0), 1000)
+        ix0, ix1, w0, w1 = hat_x(x, LX, NX)
+        np.testing.assert_allclose(w0 + w1, 1.0, atol=1e-12)
+        assert jnp.all((w0 >= 0) & (w0 <= 1))
+        assert jnp.all(ix1 == (ix0 + 1) % NX)
+
+    def test_hat_v_mask(self):
+        v = jnp.array([-9.0, -7.9, 0.0, 7.9, 9.0])
+        iv0, iv1, w0, w1, inside = hat_v(v, 8.0, 128)
+        np.testing.assert_array_equal(inside, [False, True, True, True, False])
+        np.testing.assert_allclose((w0 + w1)[inside], 1.0, atol=1e-12)
+
+    def test_hat_v_clipped_boundary(self):
+        # clipped samples take the boundary value with full weight
+        # (reference src/pic1dp_particle.F90:452-466)
+        v = jnp.array([-10.0, 10.0])
+        iv0, iv1, w0, w1 = hat_v_clipped(v, 8.0, 128)
+        np.testing.assert_array_equal(iv0, [0, 127])
+        np.testing.assert_allclose(w0, 1.0)
+        np.testing.assert_allclose(w1, 0.0)
+
+
+class TestDeposit:
+    def test_total_conservation(self):
+        key = jax.random.PRNGKey(1)
+        x = rand_x(key, 5000)
+        val = jax.random.normal(jax.random.PRNGKey(2), (5000,), jnp.float64)
+        grid = dep.deposit_onehot(x, val, LX, NX, chunk=512)
+        np.testing.assert_allclose(jnp.sum(grid), jnp.sum(val), rtol=1e-10)
+
+    def test_onehot_matches_segment(self):
+        x = rand_x(jax.random.PRNGKey(3), 3000)
+        val = jax.random.normal(jax.random.PRNGKey(4), (3000,), jnp.float64)
+        g1 = dep.deposit_onehot(x, val, LX, NX, chunk=1000)
+        g2 = dep.deposit_segment(x, val, LX, NX)
+        np.testing.assert_allclose(g1, g2, rtol=1e-10, atol=1e-12)
+
+    def test_single_particle(self):
+        # particle exactly halfway between cells 3 and 4
+        x = jnp.array([(3.5) * LX / NX])
+        val = jnp.array([2.0])
+        grid = dep.deposit_onehot(x, val, LX, NX, chunk=1)
+        np.testing.assert_allclose(grid[3], 1.0, rtol=1e-12)
+        np.testing.assert_allclose(grid[4], 1.0, rtol=1e-12)
+        assert jnp.count_nonzero(grid) == 2
+
+    def test_periodic_wraparound_cell(self):
+        # particle in the last cell deposits onto cells nx-1 and 0
+        x = jnp.array([LX * (NX - 0.25) / NX])
+        val = jnp.array([1.0])
+        grid = dep.deposit_onehot(x, val, LX, NX, chunk=1)
+        np.testing.assert_allclose(grid[NX - 1], 0.25, rtol=1e-10)
+        np.testing.assert_allclose(grid[0], 0.75, rtol=1e-10)
+
+
+class TestGatherAdjoint:
+    def test_gather_matches_onehot(self):
+        x = rand_x(jax.random.PRNGKey(5), 2000)
+        grid = jax.random.normal(jax.random.PRNGKey(6), (NX,), jnp.float64)
+        e1 = gat.gather_take(x, grid, LX, NX)
+        e2 = gat.gather_onehot(x, grid, LX, NX, chunk=512)
+        np.testing.assert_allclose(e1, e2, rtol=1e-10, atol=1e-12)
+
+    def test_adjointness(self):
+        """<deposit(x, val), grid> == <val, gather(x, grid)> — the S / S^T
+        transposed-pair property of the vector-matrix formulation
+        (reference doc/formulation.tex; SURVEY.md section 4)."""
+        x = rand_x(jax.random.PRNGKey(7), 4000)
+        val = jax.random.normal(jax.random.PRNGKey(8), (4000,), jnp.float64)
+        grid = jax.random.normal(jax.random.PRNGKey(9), (NX,), jnp.float64)
+        lhs = jnp.vdot(dep.deposit_onehot(x, val, LX, NX, chunk=1024), grid)
+        rhs = jnp.vdot(val, gat.gather_take(x, grid, LX, NX))
+        np.testing.assert_allclose(lhs, rhs, rtol=1e-10)
+
+
+class TestSpectral:
+    def test_cosine_charge(self):
+        """rho = cos(k x) must give E = sin(k x) / k for a kept mode
+        (dE/dx = rho), the check reference field_test does by eye
+        (src/pic1dp_field.F90:276-309)."""
+        for mode in (1, 3):
+            op = SpectralOperator.create(NX, (1, 2, 3), LX, jnp.float64)
+            xgrid = np.arange(NX) / NX * LX
+            k = 2.0 * np.pi * mode / LX
+            rho = jnp.asarray(np.cos(k * xgrid))
+            e, mre, mim = op.solve(rho)
+            np.testing.assert_allclose(e, np.sin(k * xgrid) / k, atol=1e-10)
+
+    def test_sine_charge(self):
+        op = SpectralOperator.create(NX, (2,), LX, jnp.float64)
+        xgrid = np.arange(NX) / NX * LX
+        k = 2.0 * np.pi * 2 / LX
+        rho = jnp.asarray(np.sin(k * xgrid))
+        e, _, _ = op.solve(rho)
+        np.testing.assert_allclose(e, -np.cos(k * xgrid) / k, atol=1e-10)
+
+    def test_unkept_mode_filtered(self):
+        """Charge in a mode not in `modes` must produce no field — the
+        partial DFT keeps only configured modes (reference
+        src/pic1dp_field.F90:176-210)."""
+        op = SpectralOperator.create(NX, (1,), LX, jnp.float64)
+        xgrid = np.arange(NX) / NX * LX
+        k5 = 2.0 * np.pi * 5 / LX
+        e, mre, mim = op.solve(jnp.asarray(np.cos(k5 * xgrid)))
+        np.testing.assert_allclose(e, 0.0, atol=1e-10)
+
+    def test_mode_component_conventions(self):
+        """E-mode components match the reference's sign/normalization:
+        for rho = A sin(k x), E = -(A/k) cos(k x) = 2*mode_re*cos with
+        mode_re = -A/(2k), mode_im = 0 (src/pic1dp_field.F90:230-257)."""
+        op = SpectralOperator.create(NX, (1,), LX, jnp.float64)
+        xgrid = np.arange(NX) / NX * LX
+        k = 2.0 * np.pi / LX
+        amp = 0.7
+        e, mre, mim = op.solve(jnp.asarray(amp * np.sin(k * xgrid)))
+        np.testing.assert_allclose(mre[0], -amp / (2 * k), rtol=1e-10)
+        np.testing.assert_allclose(mim[0], 0.0, atol=1e-12)

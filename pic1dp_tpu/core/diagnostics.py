@@ -34,13 +34,19 @@ class Energies(NamedTuple):
     pertb: jnp.ndarray    # (ns,): sum v^2 w (delta-f)   (reference :145-171)
 
 
-def energies(cfg: Config, sp: dist.SpeciesParams, state: SimState) -> Energies:
+def energies(cfg: Config, sp: dist.SpeciesParams, state: SimState,
+             axis_name: str | None = None) -> Energies:
+    """Set axis_name when the particle axis is sharded under shard_map: the
+    per-shard partial sums are psum-reduced before any derived quantity."""
+    def allsum(x):
+        return jax.lax.psum(x, axis_name) if axis_name is not None else x
+
     field = jnp.sum(state.electric**2) * (cfg.lx / cfg.nx)
     v2 = jnp.where(state.live, state.v * state.v, 0.0)
-    marker = jnp.sum(v2, axis=1)
-    total = jnp.sum(v2 * state.p, axis=1)
+    marker = allsum(jnp.sum(v2, axis=1))
+    total = allsum(jnp.sum(v2 * state.p, axis=1))
     if cfg.deltaf:
-        pertb = jnp.sum(v2 * state.w, axis=1)
+        pertb = allsum(jnp.sum(v2 * state.w, axis=1))
         if cfg.linear:
             # linear: p = f0/g, perturbed energy must be added to get total
             # (reference src/pic1dp_output.F90:152-155)
@@ -106,7 +112,11 @@ def deposit_xv(x, v, vals, lx, v_max, nx: int, nv: int, chunk: int = 16384):
         acc_v = acc_v + jnp.sum(wvoh, axis=1)
         return (acc_xv, acc_v), None
 
-    acc0 = (jnp.zeros((k, nv, nx), vals.dtype), jnp.zeros((k, nv), vals.dtype))
+    # + 0 * vals[0, 0] propagates varying manual axes for shard_map (see
+    # ops/deposit.py)
+    zero = 0.0 * vals[0, 0]
+    acc0 = (jnp.zeros((k, nv, nx), vals.dtype) + zero,
+            jnp.zeros((k, nv), vals.dtype) + zero)
     (hist_xv, hist_v), _ = jax.lax.scan(body, acc0, (xc, vc, valc))
     return hist_xv, hist_v
 
@@ -191,7 +201,8 @@ def dist_pertb_abs_v(v, w, live, v_max, nv: int, chunk: int = 16384):
             return acc + jnp.sum(contrib, axis=0), None
 
         chunks = tuple(a.reshape(nchunk, chunk) for a in (i0, i1, w0, w1, vl))
-        acc, _ = jax.lax.scan(body, jnp.zeros((nv,), vl.dtype), chunks)
+        acc0 = jnp.zeros((nv,), vl.dtype) + 0.0 * vl[0]
+        acc, _ = jax.lax.scan(body, acc0, chunks)
         return acc
 
     return jax.vmap(lambda *a: per_species(a))(iv0, iv1, wv0, wv1, val)

@@ -46,14 +46,22 @@ def _df_at_particles(profile_s: jnp.ndarray, v: jnp.ndarray, v_max: float, nv: i
     return w0 * jnp.take(profile_s, iv0) + w1 * jnp.take(profile_s, iv1)
 
 
-def _profile(cfg: Config, state: SimState) -> jnp.ndarray:
-    return dist_pertb_abs_v(state.v, state.w, state.live, cfg.v_max, cfg.nv,
+def _profile(cfg: Config, state: SimState,
+             axis_name: str | None = None) -> jnp.ndarray:
+    """Globally reduced |delta f|(v) profile; the psum is the reference's
+    MPI_Allreduce (src/pic1dp_particle.F90:392-395)."""
+    prof = dist_pertb_abs_v(state.v, state.w, state.live, cfg.v_max, cfg.nv,
                             chunk=min(cfg.deposit_chunk, state.x.shape[1]))
+    if axis_name is not None:
+        prof = jax.lax.psum(prof, axis_name)
+    return prof
 
 
-def merge_particles(cfg: Config, state: SimState, thsh: float) -> SimState:
-    """Merge pairs of non-important particles (reference :411-522)."""
-    profile = _profile(cfg, state)
+def merge_particles(cfg: Config, state: SimState, thsh: float,
+                    axis_name: str | None = None) -> SimState:
+    """Merge pairs of non-important particles (reference :411-522).  Pairing
+    is shard-local, like the reference's per-rank bins."""
+    profile = _profile(cfg, state, axis_name)
     ns, n = state.x.shape
 
     def per_species(x, v, p, w, live, prof):
@@ -107,9 +115,9 @@ def merge_particles(cfg: Config, state: SimState, thsh: float) -> SimState:
 
 
 def remove_particles(cfg: Config, state: SimState, key: jax.Array,
-           thsh: float) -> SimState:
+                     thsh: float, axis_name: str | None = None) -> SimState:
     """Remove unimportant particles, rescaling survivors (reference :530-627)."""
-    profile = _profile(cfg, state)
+    profile = _profile(cfg, state, axis_name)
     opt = cfg.optimization
     dice = jax.random.uniform(key, state.x.shape, state.x.dtype)
 
@@ -138,9 +146,11 @@ def remove_particles(cfg: Config, state: SimState, key: jax.Array,
 
 
 def split_particles(cfg: Config, state: SimState, key: jax.Array,
-          thsh: float) -> SimState:
-    """Split resonant particles into 2*ngroup children (reference :635-746)."""
-    profile = _profile(cfg, state)
+                    thsh: float, axis_name: str | None = None) -> SimState:
+    """Split resonant particles into 2*ngroup children (reference :635-746).
+    Children fill shard-local dead slots, like the reference's per-rank
+    capacity guard."""
+    profile = _profile(cfg, state, axis_name)
     g = cfg.optimization.split_ngroup
     dv_sig = 2.0 * cfg.v_max / cfg.nv * cfg.optimization.split_dv_sig_frac
     ns, n = state.x.shape
@@ -200,16 +210,20 @@ def split_particles(cfg: Config, state: SimState, key: jax.Array,
 def apply_optimizations(cfg: Config, sp: dist.SpeciesParams, state: SimState,
                         key: jax.Array, merge: float | None = None,
                         remove: float | None = None,
-                        split: float | None = None) -> SimState:
+                        split: float | None = None,
+                        axis_name: str | None = None) -> SimState:
     """Run scheduled optimizations in the reference's order: merge, remove,
     split — recomputing the |delta f|(v) profile before each (reference
     particle_optimize, src/pic1dp_particle.F90:766-809).  The threshold
     arguments are fractions of max |delta f|(v); None disables the op."""
+    if axis_name is not None:
+        # decorrelate the per-shard dice streams
+        key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
     k1, k2 = jax.random.split(key)
     if merge is not None:
-        state = merge_particles(cfg, state, merge)
+        state = merge_particles(cfg, state, merge, axis_name)
     if remove is not None:
-        state = remove_particles(cfg, state, k1, remove)
+        state = remove_particles(cfg, state, k1, remove, axis_name)
     if split is not None:
-        state = split_particles(cfg, state, k2, split)
+        state = split_particles(cfg, state, k2, split, axis_name)
     return state

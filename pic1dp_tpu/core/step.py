@@ -37,6 +37,7 @@ import jax.numpy as jnp
 
 from pic1dp_tpu import distributions as dist
 from pic1dp_tpu.config import Config, DepositMethod
+from pic1dp_tpu.core import diagnostics
 from pic1dp_tpu.core.state import SimState
 from pic1dp_tpu.ops import deposit as deposit_ops
 from pic1dp_tpu.ops import gather as gather_ops
@@ -45,16 +46,34 @@ from pic1dp_tpu.ops.spectral import SpectralOperator
 
 
 class Stepper:
-    """Precompiled step functions for a fixed Config."""
+    """Precompiled step functions for a fixed Config.
 
-    def __init__(self, cfg: Config):
+    `axis_name` makes every grid reduction finish with a psum over that mesh
+    axis — set when the particle axis is sharded under shard_map
+    (parallel/mesh.py); None on a single device.  This is the TPU-native
+    analogue of the reference's deposit-then-MPI_Allreduce pattern
+    (src/pic1dp_interaction.F90:130-135): each device deposits its particle
+    shard onto a private full grid and the partial grids ride ICI.
+    """
+
+    def __init__(self, cfg: Config, axis_name: str | None = None):
         cfg.validate()
         self.cfg = cfg
+        self.axis_name = axis_name
         self.dtype = jnp.dtype(cfg.dtype)
         self.spectral = SpectralOperator.create(cfg.nx, cfg.modes, cfg.lx, self.dtype)
         self.sp = dist.SpeciesParams.from_config(cfg, self.dtype)
         self.step = jax.jit(self._step)
         self.initial_field = jax.jit(self._initial_field)
+        self.energies = jax.jit(
+            lambda s: diagnostics.energies(cfg, self.sp, s, self.axis_name))
+        self.ptcldist = jax.jit(
+            lambda s: diagnostics.ptcldist(cfg, self.sp, s))
+
+    def _psum(self, x):
+        if self.axis_name is not None:
+            return jax.lax.psum(x, self.axis_name)
+        return x
 
     # ---- pieces ----
 
@@ -79,6 +98,7 @@ class Stepper:
             if cfg.deposit_method != DepositMethod.PALLAS else "onehot",
             chunk=cfg.deposit_chunk,
         )
+        grid = self._psum(grid)
         rho = grid * (cfg.nx / cfg.lx)
         if not cfg.deltaf:
             # subtract equilibrium charge density (reference :142-148)
@@ -168,3 +188,11 @@ class Stepper:
         return SimState(x=state.x, v=state.v, p=state.p, w=state.w,
                         live=state.live, rho=rho, electric=electric,
                         mode_re=mre, mode_im=mim)
+
+    def apply_optimizations(self, state: SimState, key, merge=None,
+                            remove=None, split=None) -> SimState:
+        from pic1dp_tpu.core import optimize as opt_mod
+
+        return opt_mod.apply_optimizations(
+            self.cfg, self.sp, state, key, merge=merge, remove=remove,
+            split=split, axis_name=self.axis_name)

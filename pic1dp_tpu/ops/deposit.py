@@ -63,7 +63,9 @@ def deposit_onehot(x: jnp.ndarray, val: jnp.ndarray, lx, nx: int,
                   jnp.where(ix1[:, None] == iota, (w1 * vs)[:, None], 0.0)
         return acc + jnp.sum(contrib, axis=0), None
 
-    grid0 = jnp.zeros((nx,), dtype=val.dtype)
+    # 0 * val[0] makes the carry inherit val's varying manual axes, so the
+    # scan is valid both standalone and per-shard inside shard_map
+    grid0 = jnp.zeros((nx,), dtype=val.dtype) + 0.0 * val[0]
     grid, _ = jax.lax.scan(body, grid0, (xc, vc))
     return grid
 

@@ -1,0 +1,89 @@
+"""Multi-device tests on the 8-way virtual CPU mesh: the sharded step must
+reproduce the single-device step exactly (the deposition psum is the only
+cross-device dependency, and it is associative-identical here), and scaling
+machinery (specs, placement) must hold together."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pic1dp_tpu.config import landau_damping
+from pic1dp_tpu.core import diagnostics
+from pic1dp_tpu.core.loading import load_particles
+from pic1dp_tpu.core.step import Stepper
+from pic1dp_tpu.parallel import mesh as pmesh
+
+
+@pytest.fixture(scope="module")
+def setup(devices):
+    cfg = landau_damping(nx=64, nparticle=8192, k=0.5, amp=1e-3,
+                         time_max=5.0, dtype="float64")
+    key = jax.random.PRNGKey(7)
+    state = load_particles(cfg, key)
+    return cfg, state
+
+
+class TestShardedStep:
+    def test_matches_single_device(self, setup, devices):
+        cfg, state0 = setup
+        single = Stepper(cfg)
+        mesh = pmesh.make_mesh(8)
+        sharded = pmesh.ShardedStepper(cfg, mesh)
+
+        s_single = single.initial_field(state0)
+        s_shard = pmesh.shard_state(state0, mesh)
+        s_shard = sharded.initial_field(s_shard)
+        np.testing.assert_allclose(np.asarray(s_shard.electric),
+                                   np.asarray(s_single.electric),
+                                   rtol=1e-12, atol=1e-15)
+
+        for _ in range(3):
+            s_single = single.step(s_single)
+            s_shard = sharded.step(s_shard)
+        np.testing.assert_allclose(np.asarray(s_shard.electric),
+                                   np.asarray(s_single.electric),
+                                   rtol=1e-9, atol=1e-14)
+        np.testing.assert_allclose(np.asarray(s_shard.x),
+                                   np.asarray(s_single.x), rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(s_shard.w),
+                                   np.asarray(s_single.w),
+                                   rtol=1e-9, atol=1e-16)
+
+    def test_sharding_placement(self, setup, devices):
+        cfg, state0 = setup
+        mesh = pmesh.make_mesh(8)
+        s = pmesh.shard_state(state0, mesh)
+        # particle arrays sharded 8 ways on the particle axis
+        assert len(s.x.sharding.device_set) == 8
+        shard_shapes = {tuple(sh.data.shape) for sh in s.x.addressable_shards}
+        assert shard_shapes == {(cfg.nspecies, cfg.nparticle_max // 8)}
+        # field replicated
+        assert s.electric.sharding.is_fully_replicated
+
+    def test_sharded_diagnostics(self, setup, devices):
+        cfg, state0 = setup
+        mesh = pmesh.make_mesh(8)
+        sharded = pmesh.ShardedStepper(cfg, mesh)
+        single = Stepper(cfg)
+        s1 = single.initial_field(state0)
+        s8 = sharded.initial_field(pmesh.shard_state(state0, mesh))
+
+        e1 = diagnostics.energies(cfg, single.sp, s1)
+        e8 = sharded.energies(s8)
+        np.testing.assert_allclose(float(e8.field), float(e1.field), rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(e8.marker), np.asarray(e1.marker),
+                                   rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(e8.pertb), np.asarray(e1.pertb),
+                                   rtol=1e-9)
+
+        d1 = diagnostics.ptcldist(cfg, single.sp, s1)
+        d8 = sharded.ptcldist(s8)
+        np.testing.assert_allclose(np.asarray(d8.total_xv),
+                                   np.asarray(d1.total_xv), rtol=1e-9,
+                                   atol=1e-12)
+
+    def test_indivisible_particle_count_rejected(self, devices):
+        cfg = landau_damping(nx=64, nparticle=8191, dtype="float64")
+        with pytest.raises(ValueError, match="divisible"):
+            pmesh.ShardedStepper(cfg, pmesh.make_mesh(8))

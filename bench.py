@@ -1,0 +1,140 @@
+"""Benchmark harness: particles pushed/sec/chip on the scaled bump-on-tail
+case (BASELINE.json config 4: 1024 cells, delta-f weights, single chip).
+
+Prints ONE JSON line:
+    {"metric": "particles_pushed_per_sec_per_chip", "value": ..., "unit":
+     "pushes/s", "vs_baseline": ...}
+
+"vs_baseline" divides by an estimate of the Fortran+PETSc reference on one
+host (its default 4 MPI ranks, Makefile:38-39).  The reference publishes no
+numbers and cannot be built here (no mpif90/PETSc), so the baseline is
+measured at bench time: bench/baseline_push.cpp reimplements the reference's
+serial per-rank hot loop (gather/push/deposit semantics of
+src/pic1dp_interaction.F90) in C++ -O3, and the single-core rate is
+multiplied by 4 ranks.  Falls back to 8.0e7 pushes/s if g++ is unavailable.
+
+Secondary metrics (deposition nnz/s, Poisson-solve us/step, per-phase table)
+go to stderr.
+
+Env knobs: PIC1DP_BENCH_N (markers, default 2**26), PIC1DP_BENCH_NX (1024),
+PIC1DP_BENCH_STEPS (10), PIC1DP_BENCH_CPU=1 to force the CPU platform.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+FALLBACK_BASELINE = 8.0e7  # pushes/s, one host: ~2e7/core x 4 ranks
+REF_RANKS = 4
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def measure_baseline() -> float:
+    """Single-host Fortran+PETSc stand-in (see module docstring)."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    src = os.path.join(here, "bench", "baseline_push.cpp")
+    exe = os.path.join(here, "bench", "baseline_push")
+    try:
+        if not os.path.exists(exe) or os.path.getmtime(exe) < os.path.getmtime(src):
+            subprocess.run(["g++", "-O3", "-march=native", "-o", exe, src],
+                           check=True, capture_output=True, timeout=120)
+        out = subprocess.run([exe, "2000000", "192", "10"], check=True,
+                             capture_output=True, timeout=300, text=True)
+        per_core = float(out.stdout.strip())
+        log(f"baseline: C++ hot loop {per_core:.3e} pushes/s/core "
+            f"x {REF_RANKS} ranks")
+        return per_core * REF_RANKS
+    except Exception as e:  # noqa: BLE001 — any failure -> documented constant
+        log(f"baseline: measurement failed ({e!r}); using fallback "
+            f"{FALLBACK_BASELINE:.1e}")
+        return FALLBACK_BASELINE
+
+
+def main() -> None:
+    n = int(os.environ.get("PIC1DP_BENCH_N", 2**26))
+    nx = int(os.environ.get("PIC1DP_BENCH_NX", 1024))
+    steps = int(os.environ.get("PIC1DP_BENCH_STEPS", 10))
+
+    baseline = measure_baseline()
+
+    import jax
+
+    if os.environ.get("PIC1DP_BENCH_CPU"):
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from pic1dp_tpu.config import bump_on_tail_default
+    from pic1dp_tpu.core.loading import load_particles
+    from pic1dp_tpu.core.step import Stepper
+
+    dev = jax.devices()[0]
+    log(f"device: {dev.platform}:{dev.device_kind}  n={n:.2e} nx={nx} "
+        f"steps={steps}")
+
+    cfg = bump_on_tail_default(
+        nx=nx,
+        nparticle_max=n,
+        dtype="float32",
+        deposit_chunk=int(os.environ.get("PIC1DP_BENCH_CHUNK", 65536)),
+        verbosity=0,
+    )
+    stepper = Stepper(cfg)
+
+    t0 = time.perf_counter()
+    state = load_particles(cfg, jax.random.PRNGKey(12345))
+    state = stepper.initial_field(state)
+    jax.block_until_ready(state.electric)
+    log(f"load+initial solve: {time.perf_counter() - t0:.1f}s")
+
+    t0 = time.perf_counter()
+    state = stepper.step(state)
+    jax.block_until_ready(state.electric)
+    log(f"first step (compile): {time.perf_counter() - t0:.1f}s")
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state = stepper.step(state)
+    jax.block_until_ready(state.electric)
+    elapsed = time.perf_counter() - t0
+
+    # 2 RK substeps per step, each pushing every marker
+    pushes = 2.0 * n * steps
+    rate = pushes / elapsed
+    log(f"{steps} steps in {elapsed:.3f}s -> {rate:.3e} pushes/s "
+        f"({elapsed / steps * 1e3:.1f} ms/step)")
+
+    # secondary: deposition nnz/s (2 nnz per marker per substep) and
+    # field-solve time
+    nnz_rate = 2.0 * pushes / elapsed
+    t0 = time.perf_counter()
+    for _ in range(20):
+        rho = stepper.deposit_charge(state.x, state.p, state.w, state.live)
+        e, mre, mim = stepper.solve_field(rho)
+    jax.block_until_ready(e)
+    dep_solve = (time.perf_counter() - t0) / 20
+    t0 = time.perf_counter()
+    for _ in range(100):
+        e, mre, mim = stepper.solve_field(rho)
+    jax.block_until_ready(e)
+    solve_us = (time.perf_counter() - t0) / 100 * 1e6
+    log(f"deposition (attributed): {nnz_rate:.3e} nnz/s; deposit+solve "
+        f"{dep_solve * 1e3:.2f} ms; Poisson solve {solve_us:.1f} us/step")
+    log(f"field energy sanity: {float(jnp.sum(state.electric**2)):.3e}")
+
+    print(json.dumps({
+        "metric": "particles_pushed_per_sec_per_chip",
+        "value": rate,
+        "unit": "pushes/s",
+        "vs_baseline": rate / baseline,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -93,14 +93,14 @@ def main() -> None:
     jax.block_until_ready(state.electric)
     log(f"load+initial solve: {time.perf_counter() - t0:.1f}s")
 
+    multi = stepper.make_multi_step(steps)
     t0 = time.perf_counter()
-    state = stepper.step(state)
+    state = multi(state)
     jax.block_until_ready(state.electric)
-    log(f"first step (compile): {time.perf_counter() - t0:.1f}s")
+    log(f"first {steps}-step scan (compile+run): {time.perf_counter() - t0:.1f}s")
 
     t0 = time.perf_counter()
-    for _ in range(steps):
-        state = stepper.step(state)
+    state = multi(state)
     jax.block_until_ready(state.electric)
     elapsed = time.perf_counter() - t0
 
@@ -111,21 +111,26 @@ def main() -> None:
         f"({elapsed / steps * 1e3:.1f} ms/step)")
 
     # secondary: deposition nnz/s (2 nnz per marker per substep) and
-    # field-solve time
+    # deposit+solve time via the matrix-free projection (measured inside one
+    # jitted 32-iteration loop so tunnel dispatch latency is amortized)
     nnz_rate = 2.0 * pushes / elapsed
+
+    @jax.jit
+    def dep_solve_loop(state):
+        def body(carry, _):
+            trig = stepper._trig(state.x + carry)
+            (mre, mim), _ = stepper._project_and_solve(
+                trig, state.p, state.w, state.live)
+            return carry + 0.0 * mre[0], None
+        out, _ = jax.lax.scan(body, jnp.zeros((), state.x.dtype), None, length=32)
+        return out
+
+    dep_solve_loop(state).block_until_ready()
     t0 = time.perf_counter()
-    for _ in range(20):
-        rho = stepper.deposit_charge(state.x, state.p, state.w, state.live)
-        e, mre, mim = stepper.solve_field(rho)
-    jax.block_until_ready(e)
-    dep_solve = (time.perf_counter() - t0) / 20
-    t0 = time.perf_counter()
-    for _ in range(100):
-        e, mre, mim = stepper.solve_field(rho)
-    jax.block_until_ready(e)
-    solve_us = (time.perf_counter() - t0) / 100 * 1e6
-    log(f"deposition (attributed): {nnz_rate:.3e} nnz/s; deposit+solve "
-        f"{dep_solve * 1e3:.2f} ms; Poisson solve {solve_us:.1f} us/step")
+    dep_solve_loop(state).block_until_ready()
+    dep_solve_us = (time.perf_counter() - t0) / 32 * 1e6
+    log(f"deposition (attributed): {nnz_rate:.3e} nnz/s; matrix-free "
+        f"deposit+solve {dep_solve_us:.0f} us/substep")
     log(f"field energy sanity: {float(jnp.sum(state.electric**2)):.3e}")
 
     print(json.dumps({

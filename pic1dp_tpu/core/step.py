@@ -36,11 +36,12 @@ import jax
 import jax.numpy as jnp
 
 from pic1dp_tpu import distributions as dist
-from pic1dp_tpu.config import Config, DepositMethod
+from pic1dp_tpu.config import Config, DepositMethod, ParticleShape
 from pic1dp_tpu.core import diagnostics
 from pic1dp_tpu.core.state import SimState
 from pic1dp_tpu.ops import deposit as deposit_ops
 from pic1dp_tpu.ops import gather as gather_ops
+from pic1dp_tpu.ops import spectral as spectral_ops
 from pic1dp_tpu.ops.interp import wrap_x
 from pic1dp_tpu.ops.spectral import SpectralOperator
 
@@ -130,19 +131,98 @@ class Stepper:
     def solve_field(self, rho):
         return self.spectral.solve(rho)
 
+    # ---- matrix-free spectral hot path (cfg.shape == MATRIX_FREE) ----
+    #
+    # The reference's iptclshape=4 recomputes the shape on the fly instead of
+    # storing S (src/pic1dp_particle.F90:133-138); the TPU-native analogue
+    # goes further: the hot loop composes hat interpolation with the partial
+    # DFT so no nx-grid is ever touched (see ops/spectral.py).  The grid path
+    # below (_step_grid) is the explicit-S analogue and the cross-check.
+
+    def _deposit_val(self, p, w, live):
+        """Per-particle deposit value with charge and live mask folded in."""
+        val = w if self.cfg.deltaf else p
+        return jnp.where(live, val, 0.0) * self.sp.charge
+
+    def _trig(self, x):
+        return spectral_ops.mode_trig(x, self.cfg.lx, self.cfg.nx, self.cfg.modes)
+
+    def _project_and_solve(self, trig, p, w, live):
+        """Deposit in mode space + field solve; returns (mode_re, mode_im)
+        of E.  The psum is the reference's deposition MPI_Allreduce."""
+        p_c, p_s = spectral_ops.project_modes(trig, self._deposit_val(p, w, live))
+        p_c, p_s = self._psum((p_c, p_s))
+        return spectral_ops.solve_modes_from_projections(
+            p_c, p_s, self.spectral.grad_inv, self.cfg.lx), (p_c, p_s)
+
+    def _push_math(self, e_p, x, v, p, w, x_bak, v_bak, w_bak, dt_eff):
+        """The push update given the gathered field (same ordering as _push)."""
+        cfg = self.cfg
+        sp = self.sp
+        q_over_m = sp.charge / sp.mass
+        x_new = wrap_x(x_bak + dt_eff * v, cfg.lx)
+        if cfg.deltaf:
+            drive = (p * e_p) if cfg.linear else ((p - w) * e_p)
+            kern = dist.minus_dlnf0_dv(cfg.equilibrium, sp, v)
+            w_new = w_bak + dt_eff * drive * kern * q_over_m
+        else:
+            w_new = w
+        v_new = v if cfg.linear else v_bak + dt_eff * e_p * q_over_m
+        return x_new, v_new, w_new
+
+    def _step_spectral(self, state: SimState) -> SimState:
+        """One RK2 step, matrix-free: trig at the substep-1 deposit positions
+        is reused for the substep-2 gather."""
+        cfg = self.cfg
+        dt = jnp.asarray(cfg.dt, self.dtype)
+        x0, v0, w0 = state.x, state.v, state.w
+        p, live = state.p, state.live
+
+        # substep 1: gather at x0 from the step-start field, half push
+        t0 = self._trig(x0)
+        e_p0 = spectral_ops.efield_at(t0, state.mode_re, state.mode_im)
+        x1, v1, w1 = self._push_math(e_p0, x0, v0, p, w0, x0, v0, w0, 0.5 * dt)
+        t1 = self._trig(x1)
+        (mre1, mim1), _ = self._project_and_solve(t1, p, w1, live)
+
+        # substep 2: gather at x1 from the midpoint field (trig reused)
+        e_p1 = spectral_ops.efield_at(t1, mre1, mim1)
+        x2, v2, w2 = self._push_math(e_p1, x1, v1, p, w1, x0, v0, w0, dt)
+        t2 = self._trig(x2)
+        (mre2, mim2), (p_c, p_s) = self._project_and_solve(t2, p, w2, live)
+
+        electric = self.spectral.e_grid(mre2, mim2)
+        rho = self.spectral.rho_grid_from_projections(p_c, p_s, cfg.lx)
+        return SimState(x=x2, v=v2, p=p, w=w2, live=live,
+                        rho=rho, electric=electric, mode_re=mre2, mode_im=mim2)
+
     # ---- jitted entry points ----
 
     def _initial_field(self, state: SimState) -> SimState:
         """Deposit + solve for the freshly loaded state
         (reference src/pic1dp.F90:70-72)."""
-        rho = self.deposit_charge(state.x, state.p, state.w, state.live)
-        electric, mre, mim = self.solve_field(rho)
+        if self.cfg.shape == ParticleShape.MATRIX_FREE:
+            trig = self._trig(state.x)
+            (mre, mim), (p_c, p_s) = self._project_and_solve(
+                trig, state.p, state.w, state.live)
+            electric = self.spectral.e_grid(mre, mim)
+            rho = self.spectral.rho_grid_from_projections(p_c, p_s, self.cfg.lx)
+        else:
+            rho = self.deposit_charge(state.x, state.p, state.w, state.live)
+            electric, mre, mim = self.solve_field(rho)
         return SimState(x=state.x, v=state.v, p=state.p, w=state.w,
                         live=state.live, rho=rho, electric=electric,
                         mode_re=mre, mode_im=mim)
 
     def _step(self, state: SimState) -> SimState:
         """One full RK2 step (two substeps), no particle optimization."""
+        if self.cfg.shape == ParticleShape.MATRIX_FREE:
+            return self._step_spectral(state)
+        return self._step_grid(state)
+
+    def _step_grid(self, state: SimState) -> SimState:
+        """Grid-histogram RK2 step (explicit-shape analogue, cross-check
+        path for iptclshape 1-3, reference src/pic1dp_particle.F90:275-350)."""
         cfg = self.cfg
         dt = jnp.asarray(cfg.dt, self.dtype)
         x0, v0, w0 = state.x, state.v, state.w
@@ -161,6 +241,21 @@ class Stepper:
         return SimState(x=x2, v=v2, p=p, w=w2, live=live,
                         rho=rho2, electric=e2, mode_re=mre, mode_im=mim)
 
+    def make_multi_step(self, k: int):
+        """Jitted k-step advance via lax.scan: one dispatch, one compiled
+        loop — amortizes host->device launch latency (the reference's analogue
+        is simply its Fortran time loop, src/pic1dp.F90:78-109)."""
+
+        def body(state, _):
+            return self._step(state), None
+
+        @jax.jit
+        def multi(state):
+            out, _ = jax.lax.scan(body, state, None, length=k)
+            return out
+
+        return multi
+
     def push_pair(self, state: SimState):
         """Both RK substeps' pushes WITHOUT the final deposit/solve; used by
         the optimization path, which runs merge/remove/split after the second
@@ -173,21 +268,28 @@ class Stepper:
         dt = jnp.asarray(cfg.dt, self.dtype)
         x0, v0, w0 = state.x, state.v, state.w
         p, live = state.p, state.live
-        x1, v1, w1 = self._push(x0, v0, p, w0, x0, v0, w0, state.electric, 0.5 * dt)
-        rho1 = self.deposit_charge(x1, p, w1, live)
-        e1, _, _ = self.solve_field(rho1)
-        x2, v2, w2 = self._push(x1, v1, p, w1, x0, v0, w0, e1, dt)
+        if cfg.shape == ParticleShape.MATRIX_FREE:
+            t0 = self._trig(x0)
+            e_p0 = spectral_ops.efield_at(t0, state.mode_re, state.mode_im)
+            x1, v1, w1 = self._push_math(e_p0, x0, v0, p, w0, x0, v0, w0, 0.5 * dt)
+            t1 = self._trig(x1)
+            (mre1, mim1), (p_c, p_s) = self._project_and_solve(t1, p, w1, live)
+            e_p1 = spectral_ops.efield_at(t1, mre1, mim1)
+            x2, v2, w2 = self._push_math(e_p1, x1, v1, p, w1, x0, v0, w0, dt)
+            rho1 = self.spectral.rho_grid_from_projections(p_c, p_s, cfg.lx)
+            e1 = self.spectral.e_grid(mre1, mim1)
+        else:
+            x1, v1, w1 = self._push(x0, v0, p, w0, x0, v0, w0, state.electric, 0.5 * dt)
+            rho1 = self.deposit_charge(x1, p, w1, live)
+            e1, _, _ = self.solve_field(rho1)
+            x2, v2, w2 = self._push(x1, v1, p, w1, x0, v0, w0, e1, dt)
         return SimState(x=x2, v=v2, p=p, w=w2, live=live,
                         rho=rho1, electric=e1, mode_re=state.mode_re,
                         mode_im=state.mode_im)
 
     def collect_and_solve(self, state: SimState) -> SimState:
         """Final deposit + solve after optimization."""
-        rho = self.deposit_charge(state.x, state.p, state.w, state.live)
-        electric, mre, mim = self.solve_field(rho)
-        return SimState(x=state.x, v=state.v, p=state.p, w=state.w,
-                        live=state.live, rho=rho, electric=electric,
-                        mode_re=mre, mode_im=mim)
+        return self._initial_field(state)
 
     def apply_optimizations(self, state: SimState, key, merge=None,
                             remove=None, split=None) -> SimState:

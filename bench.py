@@ -59,6 +59,7 @@ def measure_baseline() -> float:
 
 def main() -> None:
     n = int(os.environ.get("PIC1DP_BENCH_N", 2**26))
+    n = (n + 1023) // 1024 * 1024  # pallas capacity granularity
     nx = int(os.environ.get("PIC1DP_BENCH_NX", 1024))
     steps = int(os.environ.get("PIC1DP_BENCH_STEPS", 10))
 
@@ -78,10 +79,14 @@ def main() -> None:
     log(f"device: {dev.platform}:{dev.device_kind}  n={n:.2e} nx={nx} "
         f"steps={steps}")
 
+    from pic1dp_tpu.config import DepositMethod
+
+    method = DepositMethod(os.environ.get("PIC1DP_BENCH_METHOD", "pallas"))
     cfg = bump_on_tail_default(
         nx=nx,
         nparticle_max=n,
         dtype="float32",
+        deposit_method=method,
         deposit_chunk=int(os.environ.get("PIC1DP_BENCH_CHUNK", 65536)),
         verbosity=0,
     )
@@ -114,6 +119,15 @@ def main() -> None:
     # deposit+solve time via the matrix-free projection (measured inside one
     # jitted 32-iteration loop so tunnel dispatch latency is amortized)
     nnz_rate = 2.0 * pushes / elapsed
+    if not int(os.environ.get("PIC1DP_BENCH_SECONDARY", "1")):
+        log(f"deposition (attributed): {nnz_rate:.3e} nnz/s")
+        print(json.dumps({
+            "metric": "particles_pushed_per_sec_per_chip",
+            "value": rate,
+            "unit": "pushes/s",
+            "vs_baseline": rate / baseline,
+        }))
+        return
 
     @jax.jit
     def dep_solve_loop(state):

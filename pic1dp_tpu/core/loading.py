@@ -55,6 +55,11 @@ def _finish_load(cfg: Config, x, v, p, w) -> SimState:
     if not cfg.linear:
         # nonlinear: p = f/g = f0/g + delta f/g (reference :259-264)
         p = p + w
+    # Dead-slot invariant: p = w = 0 off the live mask, so dead markers
+    # deposit nothing and their weights stay zero under the push equations —
+    # the hot kernels never need to read the mask (core/state.py docstring).
+    p = jnp.where(live, p, 0.0)
+    w = jnp.where(live, w, 0.0)
     state = SimState(
         x=x, v=v, p=p, w=w, live=live,
         rho=state.rho, electric=state.electric,

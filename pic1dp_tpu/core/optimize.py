@@ -226,4 +226,10 @@ def apply_optimizations(cfg: Config, sp: dist.SpeciesParams, state: SimState,
         state = remove_particles(cfg, state, k1, remove, axis_name)
     if split is not None:
         state = split_particles(cfg, state, k2, split, axis_name)
-    return state
+    # Re-establish the dead-slot invariant p = w = 0 (core/state.py): merge/
+    # remove flip live bits without clearing the arrays.
+    p = jnp.where(state.live, state.p, 0.0)
+    w = jnp.where(state.live, state.w, 0.0)
+    return SimState(x=state.x, v=state.v, p=p, w=w, live=state.live,
+                    rho=state.rho, electric=state.electric,
+                    mode_re=state.mode_re, mode_im=state.mode_im)

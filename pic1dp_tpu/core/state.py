@@ -35,6 +35,12 @@ class SimState:
     rho, electric:    (nx,)
     mode_re, mode_im: (nmode,)  — E-field Fourier components (the quantities
                       the reference writes to output, src/pic1dp_output.F90:177-181)
+
+    Invariant: p = w = 0 wherever live is False (established by the loader
+    and re-established after particle optimization).  Dead markers then
+    deposit nothing and their weights stay zero under the push equations, so
+    the hot kernels never read the mask; only diagnostics that count markers
+    (marker energy/distribution) use `live`.
     """
 
     x: jnp.ndarray

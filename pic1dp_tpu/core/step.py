@@ -61,6 +61,7 @@ class Stepper:
         cfg.validate()
         self.cfg = cfg
         self.axis_name = axis_name
+        self._fused = None  # lazily built FusedStepper (pallas path)
         self.dtype = jnp.dtype(cfg.dtype)
         self.spectral = SpectralOperator.create(cfg.nx, cfg.modes, cfg.lx, self.dtype)
         self.sp = dist.SpeciesParams.from_config(cfg, self.dtype)
@@ -217,8 +218,38 @@ class Stepper:
     def _step(self, state: SimState) -> SimState:
         """One full RK2 step (two substeps), no particle optimization."""
         if self.cfg.shape == ParticleShape.MATRIX_FREE:
+            if self.cfg.deposit_method == DepositMethod.PALLAS:
+                return self._step_spectral_pallas(state)
             return self._step_spectral(state)
         return self._step_grid(state)
+
+    def _step_spectral_pallas(self, state: SimState) -> SimState:
+        """Matrix-free RK2 step with both substeps as fused Pallas kernels
+        (ops/pallas_kernels.py); mode solve between them is scalar work."""
+        from pic1dp_tpu.ops.pallas_kernels import FusedStepper
+
+        if self._fused is None:
+            self._fused = FusedStepper(self.cfg)
+        cfg = self.cfg
+        x0, v0, w0 = state.x, state.v, state.w
+        p, live = state.p, state.live
+
+        x1, v1, w1, (pc1, ps1) = self._fused.substep1(
+            x0, v0, p, w0, state.mode_re, state.mode_im)
+        pc1, ps1 = self._psum((pc1, ps1))
+        mre1, mim1 = spectral_ops.solve_modes_from_projections(
+            pc1, ps1, self.spectral.grad_inv, cfg.lx)
+
+        x2, v2, w2, (pc2, ps2) = self._fused.substep2(
+            x1, v1, p, w1, x0, v0, w0, mre1, mim1)
+        pc2, ps2 = self._psum((pc2, ps2))
+        mre2, mim2 = spectral_ops.solve_modes_from_projections(
+            pc2, ps2, self.spectral.grad_inv, cfg.lx)
+
+        electric = self.spectral.e_grid(mre2, mim2)
+        rho = self.spectral.rho_grid_from_projections(pc2, ps2, cfg.lx)
+        return SimState(x=x2, v=v2, p=p, w=w2, live=live,
+                        rho=rho, electric=electric, mode_re=mre2, mode_im=mim2)
 
     def _step_grid(self, state: SimState) -> SimState:
         """Grid-histogram RK2 step (explicit-shape analogue, cross-check

@@ -1,0 +1,236 @@
+"""Fused gather->push->deposit Pallas TPU kernel for one RK substep.
+
+The matrix-free spectral formulation (ops/spectral.py) makes the whole
+substep pure elementwise work plus tiny reductions, but under plain XLA the
+trig/weight intermediates (6+ arrays of N floats per mode) round-trip through
+HBM because they have multiple consumers.  This kernel runs the entire
+substep — kept-mode E gather at the current positions, the reference's push
+ordering (x, then w with the analytic -f0'/f0, then v; reference
+src/pic1dp_interaction.F90:238-339), and the mode-projection deposit at the
+new positions — in one pass with every intermediate living in VMEM/registers.
+HBM traffic is exactly the particle state streams:
+
+    substep 1:  read x, v, p, w          write x', v', w'     (7 N floats)
+    substep 2:  read x, v, p, w + the step-start backups x0, v0, w0
+                                         write x', v', w'     (10 N floats)
+
+plus (2, nmode) scalars of mode projections accumulated in SMEM across the
+sequential grid.  Dead markers carry p = w = 0 (core/state.py invariant), so
+no live mask is streamed.
+
+Static configuration (lx, nx, modes, dt, equilibrium, per-species scalars) is
+baked into the kernel closure — one pallas_call per (species, substep), which
+keeps the physics functions in distributions.py shared verbatim with the XLA
+paths.
+
+Particle blocks are (R, 128) tiles of the per-species (N/128, 128)-reshaped
+arrays; R is the largest divisor of N/128 up to `max_rows`.  Capacity N must
+be a multiple of 128 (pad nparticle_max; nparticle_init is unaffected).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pic1dp_tpu import distributions as dist
+from pic1dp_tpu.config import Config
+from pic1dp_tpu.ops.interp import wrap_x
+
+
+class _ScalarSpecies:
+    """SpeciesParams-compatible view with baked python-float fields, so the
+    shared physics functions (distributions.py) run unchanged in-kernel."""
+
+    def __init__(self, cfg: Config, s: int):
+        sc = cfg.species[s]
+        self.charge = sc.charge
+        self.mass = sc.mass
+        self.temperature = sc.temperature
+        self.temperature2 = sc.temperature2
+        self.density = sc.density
+        self.v0 = sc.v0
+
+
+def _largest_divisor(n: int, limit: int) -> int:
+    """Largest divisor of n that is a multiple of 8 (f32 sublane tile) and
+    <= limit; n itself must be a multiple of 8."""
+    for r in range(min(n, limit) // 8 * 8, 0, -8):
+        if n % r == 0:
+            return r
+    return 8
+
+
+def _trig_block(x, lx, nx: int, modes, dtype):
+    """mode_trig specialized for in-kernel blocks (same math as
+    ops/spectral.mode_trig)."""
+    s = x * (nx / lx)
+    ix0 = jnp.floor(s)
+    frac = s - ix0
+    ix0 = jnp.clip(ix0, 0.0, float(nx - 1))
+    w0, w1 = 1.0 - frac, frac
+    out = []
+    for m in modes:
+        step = 2.0 * np.pi * m / nx
+        theta0 = ix0 * jnp.asarray(step, dtype)
+        c0 = jnp.cos(theta0)
+        s0 = jnp.sin(theta0)
+        c1 = c0 * np.cos(step) - s0 * np.sin(step)
+        s1 = s0 * np.cos(step) + c0 * np.sin(step)
+        out.append((c0, s0, c1, s1))
+    return w0, w1, out
+
+
+def make_substep_call(cfg: Config, s: int, dt_frac: float, with_backups: bool,
+                      n: int, *, max_rows: int = 512, interpret: bool = False):
+    """Build the fused substep for species `s`.
+
+    Returns fn(x, v, p, w[, x0, v0, w0], mode_re, mode_im)
+         -> (x', v', w', proj) with proj (2, nmode) raw mode projections
+    of the species' charge-weighted deposit (spectral.project_modes
+    semantics).  All particle arrays are (n,) flat for this species.
+    """
+    if n % 1024:
+        raise ValueError(
+            f"pallas hot path needs nparticle_max % 1024 == 0, got {n} "
+            "(round the capacity up; nparticle_init may stay as is)")
+    nrows = n // 128
+    rows = _largest_divisor(nrows, max_rows)
+    nblocks = nrows // rows
+    dtype = jnp.dtype(cfg.dtype)
+    nmode = len(cfg.modes)
+    sp = _ScalarSpecies(cfg, s)
+    dt_eff = dt_frac * cfg.dt
+    q_over_m = sp.charge / sp.mass
+    deposit_scale = sp.charge  # val = charge * (w' | p)
+
+    def kernel(*refs):
+        if with_backups:
+            (x_ref, v_ref, p_ref, w_ref, xb_ref, vb_ref, wb_ref,
+             mre_ref, mim_ref, xo_ref, vo_ref, wo_ref, proj_ref) = refs
+        else:
+            (x_ref, v_ref, p_ref, w_ref, mre_ref, mim_ref,
+             xo_ref, vo_ref, wo_ref, proj_ref) = refs
+            xb_ref, vb_ref, wb_ref = x_ref, v_ref, w_ref
+
+        x = x_ref[:]
+        v = v_ref[:]
+        p = p_ref[:]
+        w = w_ref[:]
+
+        # -- gather: kept-mode E at the two hat neighbors of x --
+        w0, w1, trig = _trig_block(x, cfg.lx, cfg.nx, cfg.modes, dtype)
+        e = None
+        for i, (c0, s0, c1, s1) in enumerate(trig):
+            term = (w0 * c0 + w1 * c1) * mre_ref[0, i] \
+                 - (w0 * s0 + w1 * s1) * mim_ref[0, i]
+            e = term if e is None else e + term
+        e_p = 2.0 * e
+
+        # -- push, reference ordering: x, w, v --
+        x_new = wrap_x(xb_ref[:] + dt_eff * v, cfg.lx)
+        if cfg.deltaf:
+            drive = (p * e_p) if cfg.linear else ((p - w) * e_p)
+            kern = dist.minus_dlnf0_dv(cfg.equilibrium, sp, v)
+            w_new = wb_ref[:] + (dt_eff * q_over_m) * drive * kern
+        else:
+            w_new = w
+        v_new = v if cfg.linear else vb_ref[:] + (dt_eff * q_over_m) * e_p
+
+        xo_ref[:] = x_new
+        vo_ref[:] = v_new
+        wo_ref[:] = w_new
+
+        # -- deposit: accumulate raw mode projections of the new positions --
+        val = (w_new if cfg.deltaf else p) * deposit_scale
+        w0d, w1d, trigd = _trig_block(x_new, cfg.lx, cfg.nx, cfg.modes, dtype)
+
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            for i in range(nmode):
+                proj_ref[0, i] = jnp.zeros((), dtype)
+                proj_ref[1, i] = jnp.zeros((), dtype)
+
+        for i, (c0, s0, c1, s1) in enumerate(trigd):
+            proj_ref[0, i] += jnp.sum(val * (w0d * c0 + w1d * c1))
+            proj_ref[1, i] += jnp.sum(val * (w0d * s0 + w1d * s1))
+
+    pblock = pl.BlockSpec((rows, 128), lambda b: (b, 0),
+                          memory_space=pltpu.VMEM)
+    mblock = pl.BlockSpec((1, nmode), lambda b: (0, 0),
+                          memory_space=pltpu.SMEM)
+    n_part_in = 7 if with_backups else 4
+    grid_spec = pl.GridSpec(
+        grid=(nblocks,),
+        in_specs=[pblock] * n_part_in + [mblock, mblock],
+        out_specs=(pblock, pblock, pblock,
+                   pl.BlockSpec((2, nmode), lambda b: (0, 0),
+                                memory_space=pltpu.SMEM)),
+    )
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((nrows, 128), dtype),
+            jax.ShapeDtypeStruct((nrows, 128), dtype),
+            jax.ShapeDtypeStruct((nrows, 128), dtype),
+            jax.ShapeDtypeStruct((2, nmode), dtype),
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=n * (40 + 30 * nmode),
+            bytes_accessed=(n_part_in + 3) * n * dtype.itemsize,
+            transcendentals=n * (4 * nmode + 2),
+        ),
+    )
+
+    def fn(*arrays):
+        *particle, mode_re, mode_im = arrays
+        blocked = [a.reshape(nrows, 128) for a in particle]
+        mre = mode_re.reshape(1, nmode).astype(dtype)
+        mim = mode_im.reshape(1, nmode).astype(dtype)
+        xo, vo, wo, proj = call(*blocked, mre, mim)
+        return (xo.reshape(n), vo.reshape(n), wo.reshape(n), proj)
+
+    return fn
+
+
+class FusedStepper:
+    """Per-config factory of the fused substep callables (both substeps,
+    every species), used by core.step.Stepper when
+    cfg.deposit_method == PALLAS."""
+
+    def __init__(self, cfg: Config, interpret: bool | None = None):
+        if interpret is None:
+            interpret = jax.default_backend() != "tpu"
+        self.cfg = cfg
+        n = cfg.nparticle_max
+        self.sub1 = [make_substep_call(cfg, s, 0.5, False, n, interpret=interpret)
+                     for s in range(cfg.nspecies)]
+        self.sub2 = [make_substep_call(cfg, s, 1.0, True, n, interpret=interpret)
+                     for s in range(cfg.nspecies)]
+
+    def substep1(self, x, v, p, w, mode_re, mode_im):
+        """(ns, N) arrays -> (x', v', w', (p_c, p_s)) summed over species."""
+        return self._run(self.sub1, (x, v, p, w), mode_re, mode_im)
+
+    def substep2(self, x, v, p, w, x0, v0, w0, mode_re, mode_im):
+        return self._run(self.sub2, (x, v, p, w, x0, v0, w0), mode_re, mode_im)
+
+    def _run(self, subs, particle_arrays, mode_re, mode_im):
+        ns = self.cfg.nspecies
+        outs = []
+        for s in range(ns):
+            per_species = tuple(a[s] for a in particle_arrays)
+            outs.append(subs[s](*per_species, mode_re, mode_im))
+        x = jnp.stack([o[0] for o in outs])
+        v = jnp.stack([o[1] for o in outs])
+        w = jnp.stack([o[2] for o in outs])
+        proj = sum(o[3] for o in outs)
+        return x, v, w, (proj[0], proj[1])

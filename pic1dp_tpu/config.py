@@ -256,7 +256,8 @@ class Config:
 
     # ---- (de)serialization ----
 
-    def to_json(self) -> str:
+    def to_dict(self) -> dict:
+        """JSON-compatible dict, round-trippable through from_dict."""
         def enc(o):
             if dataclasses.is_dataclass(o) and not isinstance(o, type):
                 return {k: enc(v) for k, v in dataclasses.asdict(o).items()}
@@ -266,8 +267,11 @@ class Config:
                 return [enc(v) for v in o]
             return o
 
-        d = {k: enc(getattr(self, k)) for k in (f.name for f in dataclasses.fields(self))}
-        return json.dumps(d, indent=2)
+        return {k: enc(getattr(self, k))
+                for k in (f.name for f in dataclasses.fields(self))}
+
+    def to_json(self) -> str:
+        return json.dumps(self.to_dict(), indent=2)
 
     @classmethod
     def from_dict(cls, d: dict) -> "Config":

@@ -32,8 +32,13 @@ _EPS = math.sqrt(np.finfo(np.float64).eps)  # PETSC_SQRT_MACHINE_EPSILON
 
 class Simulation:
     def __init__(self, cfg: Config, pertb_shape: PertbShape | None = None,
-                 out_path: str | None = None, emulate_ranks: int = 1):
+                 out_path: str | None = None, emulate_ranks: int = 1,
+                 checkpoint_interval: float | None = None,
+                 checkpoint_path: str | None = None):
         self.cfg = cfg.validate()
+        self.checkpoint_interval = checkpoint_interval
+        self.checkpoint_path = checkpoint_path or "."
+        self._last_checkpoint_time = 0.0
         self.stepper = Stepper(cfg)
         self.pertb_shape = pertb_shape
         self.emulate_ranks = emulate_ranks
@@ -51,6 +56,7 @@ class Simulation:
         self._jit_energies = jax.jit(
             lambda s: diagnostics.energies(cfg, self.stepper.sp, s)
         )
+        self._multi_step_cache: dict[int, Callable] = {}
 
     # ---- lifecycle ----
 
@@ -142,8 +148,45 @@ class Simulation:
         return {"time": self.time, "field_energy": float(eng.field),
                 "marker": eng.marker, "total": eng.total, "pertb": eng.pertb}
 
+    def _plain_steps_ahead(self, limit: int = 4096) -> int:
+        """Number of upcoming steps with no output, optimization, or
+        termination event, by walking the schedule arithmetic forward in
+        host time (exactly mirrors step_once/_output_due)."""
+        k = 0
+        itime, time = self.itime, self.time
+        im, ir, isp = self._imerge, self._iremove, self._isplit
+        opt = self.cfg.optimization
+        while k < limit:
+            t_next = time + self.cfg.dt
+            if self.cfg.deltaf and (
+                (im < len(opt.tmerge) and t_next >= opt.tmerge[im])
+                or (ir < len(opt.tremove) and t_next >= opt.tremove[ir])
+                or (isp < len(opt.tsplit) and t_next >= opt.tsplit[isp])
+            ):
+                break  # optimization event: must run the slow path
+            itime, time = itime + 1, t_next
+            interval = self.cfg.output_interval
+            due = math.fmod(time + _EPS, interval) < \
+                math.fmod(time + _EPS - self.cfg.dt, interval)
+            done = (itime >= self.cfg.ntime_max
+                    or time + _EPS >= self.cfg.time_max)
+            k += 1
+            if due or done:
+                break
+        # (itime, time) walked with the same repeated addition as step_once,
+        # so chunked and per-step runs see identical schedule arithmetic
+        return k, itime, time
+
+    def _multi_step(self, k: int):
+        if k not in self._multi_step_cache:
+            self._multi_step_cache[k] = self.stepper.make_multi_step(k)
+        return self._multi_step_cache[k]
+
     def run(self, snapshot_callback: Callable[[dict], None] | None = None) -> None:
-        """Main loop (reference src/pic1dp.F90:77-109)."""
+        """Main loop (reference src/pic1dp.F90:77-109).  Steps between
+        events run as ONE jitted lax.scan (a single device dispatch per
+        output interval); steps with scheduled particle optimization take
+        the per-step path."""
         if self.state is None:
             self.load()
         if self.cfg.verbosity >= 1:
@@ -152,17 +195,88 @@ class Simulation:
         if snapshot_callback:
             snapshot_callback(snap)
         while not self._check_termination():
+            k, itime_k, time_k = self._plain_steps_ahead()
             with self.timers.phase("step"):
-                self.step_once()
+                if k > 1:
+                    self.state = self._multi_step(k)(self.state)
+                    self.itime, self.time = itime_k, time_k
+                else:
+                    self.step_once()
             if self._output_due() or self._check_termination():
                 jax.block_until_ready(self.state.electric)
                 snap = self.output_snapshot()
                 if snapshot_callback:
                     snapshot_callback(snap)
+            self._maybe_checkpoint()
         if self.writer is not None:
             self.writer.close()
         if self.cfg.verbosity >= 1:
             self._print(self.timers.report())
+
+    # ---- checkpoint / resume (no reference equivalent: the reference
+    # restarts from t = 0 on any failure, SURVEY.md section 5) ----
+
+    def save_checkpoint(self, path: str | None = None) -> str:
+        """Write full restart state (particle arrays, field, time counters,
+        RNG key, optimization-schedule cursors) as an .npz; atomic rename so
+        a crash mid-write never corrupts the previous checkpoint."""
+        import os
+        import tempfile
+
+        assert self.state is not None, "nothing to checkpoint"
+        if path is None:
+            path = os.path.join(self.checkpoint_path, "checkpoint.npz")
+        arrays = {f: np.asarray(getattr(self.state, f))
+                  for f in ("x", "v", "p", "w", "live", "rho", "electric",
+                            "mode_re", "mode_im")}
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path) or ".",
+                                   suffix=".npz.tmp")
+        with os.fdopen(fd, "wb") as fh:
+            np.savez(
+                fh,
+                itime=self.itime, time=self.time,
+                imerge=self._imerge, iremove=self._iremove,
+                isplit=self._isplit,
+                key=np.asarray(self.key),
+                config_json=np.frombuffer(
+                    self.cfg.to_json().encode(), dtype=np.uint8),
+                **arrays,
+            )
+        os.replace(tmp, path)
+        return path
+
+    def restore_checkpoint(self, path: str) -> None:
+        """Resume from save_checkpoint output (config must match; a
+        mismatch raises so silent divergence is impossible)."""
+        with np.load(path) as ck:
+            saved_cfg = bytes(ck["config_json"]).decode()
+            if saved_cfg != self.cfg.to_json():
+                raise ValueError(
+                    f"checkpoint {path} was written with a different config")
+            self.state = SimState(
+                x=jnp.asarray(ck["x"]), v=jnp.asarray(ck["v"]),
+                p=jnp.asarray(ck["p"]), w=jnp.asarray(ck["w"]),
+                live=jnp.asarray(ck["live"]), rho=jnp.asarray(ck["rho"]),
+                electric=jnp.asarray(ck["electric"]),
+                mode_re=jnp.asarray(ck["mode_re"]),
+                mode_im=jnp.asarray(ck["mode_im"]),
+            )
+            self.itime = int(ck["itime"])
+            self.time = float(ck["time"])
+            self._imerge = int(ck["imerge"])
+            self._iremove = int(ck["iremove"])
+            self._isplit = int(ck["isplit"])
+            self.key = jnp.asarray(ck["key"])
+        self._last_checkpoint_time = self.time
+
+    def _maybe_checkpoint(self) -> None:
+        if (self.checkpoint_interval is not None
+                and self.time - self._last_checkpoint_time
+                >= self.checkpoint_interval - _EPS):
+            path = self.save_checkpoint()
+            self._last_checkpoint_time = self.time
+            if self.cfg.verbosity >= 2:
+                self._print(f"checkpoint written: {path}")
 
     # ---- logging (reference output_progress, src/pic1dp_output.F90:483-548) ----
 

@@ -1,0 +1,148 @@
+"""Tool-layer tests: writer -> OutputData round trip, analysis accessors,
+runinfo/ptcldist/run CLIs, checkpoint/resume."""
+
+import dataclasses
+import os
+import subprocess
+import sys
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_ENV = {**os.environ,
+        "PYTHONPATH": _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")}
+
+import jax
+import numpy as np
+import pytest
+
+from pic1dp_tpu import Simulation
+from pic1dp_tpu.analysis.output_data import OutputData
+from pic1dp_tpu.config import landau_damping
+
+
+@pytest.fixture(scope="module")
+def small_run(tmp_path_factory):
+    out = tmp_path_factory.mktemp("run")
+    cfg = landau_damping(nx=32, nparticle=4096, time_max=2.0,
+                         output_interval=0.5, dtype="float64", verbosity=0,
+                         nv=32, nx_opd=16, nv_opd=16)
+    sim = Simulation(cfg, out_path=str(out))
+    sim.run()
+    return cfg, str(out)
+
+
+def test_output_roundtrip(small_run):
+    cfg, out = small_run
+    data = OutputData(out)
+    assert data.nspecies == 1
+    assert data.nx == cfg.nx
+    assert data.nx_pd == cfg.nx_opd and data.nv_pd == cfg.nv_opd
+    assert list(data.mode) == list(cfg.modes)
+    assert data.ntime == 5  # t = 0, 0.5, 1.0, 1.5, 2.0
+    scalar_t = data.get_scalar_t()
+    np.testing.assert_allclose(scalar_t[0], [0.0, 0.5, 1.0, 1.5, 2.0],
+                               atol=1e-9)
+    assert np.all(scalar_t[1] > 0)          # field energy
+    mode_t = data.get_mode_t()
+    assert mode_t.shape == (2, data.ntime)
+    field = data.get_field_x(0)
+    assert field.shape == (2, cfg.nx + 1)
+    np.testing.assert_allclose(field[:, -1], field[:, 0])  # periodic closure
+    xv = data.get_ptcldist_xv(0, 0, 2)
+    assert xv.shape == (cfg.nv_opd, cfg.nx_opd + 1)
+    v = data.get_ptcldist_v(0, 0, 0)
+    assert v.shape == (cfg.nv_opd,)
+    assert np.all(v >= 0)                   # marker distribution
+    # energy fit over the whole run must be finite
+    assert np.isfinite(data.growthrate_energy_fit(0.0, 2.0))
+    t_pk, e_pk = data.findpeak_energy(0.0, 2.0)
+    assert 0.0 <= t_pk <= 2.0 and e_pk > 0
+
+
+def test_runinfo_cli(small_run):
+    _, out = small_run
+    res = subprocess.run(
+        [sys.executable, "-m", "pic1dp_tpu.analysis.runinfo",
+         "-gr", "0", "2", "-sr", "0", "2", out, out],
+        capture_output=True, text=True, timeout=300, env=_ENV)
+    assert res.returncode == 0, res.stderr
+    assert "growth rate" in res.stdout
+    assert "saturation level" in res.stdout
+
+
+def test_ptcldist_cli(small_run, tmp_path, monkeypatch):
+    _, out = small_run
+    monkeypatch.chdir(tmp_path)
+    res = subprocess.run(
+        [sys.executable, "-m", "pic1dp_tpu.analysis.ptcldist", out,
+         "-t", "0", "-d", "0"],
+        capture_output=True, text=True, timeout=300, cwd=tmp_path, env=_ENV)
+    assert res.returncode == 0, res.stderr
+    arr = np.loadtxt(tmp_path / "ptcldist_xv.dat")
+    assert arr.shape == (16, 17)
+
+
+def test_run_cli_write_config(tmp_path):
+    cfg_file = tmp_path / "cfg.json"
+    res = subprocess.run(
+        [sys.executable, "-m", "pic1dp_tpu.run", "-p", "landau",
+         "-s", "nx=16", "--write-config", str(cfg_file)],
+        capture_output=True, text=True, timeout=300, env=_ENV)
+    assert res.returncode == 0, res.stderr
+    from pic1dp_tpu.config import Config
+
+    cfg = Config.from_json(cfg_file.read_text())
+    assert cfg.nx == 16
+
+
+def test_checkpoint_resume(tmp_path):
+    cfg = landau_damping(nx=32, nparticle=4096, time_max=2.0,
+                         output_interval=0.5, dtype="float64", verbosity=0,
+                         nv=32, nx_opd=16, nv_opd=16)
+    # continuous run to t = 2
+    sim_a = Simulation(cfg)
+    sim_a.load()
+    while sim_a.time < 2.0 - 1e-9:
+        sim_a.step_once()
+
+    # run to t = 1, checkpoint, restore into a fresh Simulation, continue
+    sim_b = Simulation(cfg)
+    sim_b.load()
+    while sim_b.time < 1.0 - 1e-9:
+        sim_b.step_once()
+    ck = sim_b.save_checkpoint(str(tmp_path / "ck.npz"))
+    sim_c = Simulation(cfg)
+    sim_c.restore_checkpoint(ck)
+    assert sim_c.itime == sim_b.itime
+    while sim_c.time < 2.0 - 1e-9:
+        sim_c.step_once()
+
+    for f in ("x", "v", "w", "electric"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(sim_a.state, f)),
+            np.asarray(getattr(sim_c.state, f)), err_msg=f)
+
+
+def test_checkpoint_config_mismatch(tmp_path):
+    cfg = landau_damping(nx=32, nparticle=4096, dtype="float64", verbosity=0)
+    sim = Simulation(cfg)
+    sim.load()
+    ck = sim.save_checkpoint(str(tmp_path / "ck.npz"))
+    other = Simulation(dataclasses.replace(cfg, time_max=1.0))
+    with pytest.raises(ValueError, match="different config"):
+        other.restore_checkpoint(ck)
+
+
+def test_chunked_run_matches_per_step():
+    """The lax.scan chunked main loop must reproduce the per-step loop."""
+    cfg = landau_damping(nx=32, nparticle=4096, time_max=1.0,
+                         output_interval=0.25, dtype="float64", verbosity=0)
+    sim_a = Simulation(cfg)
+    sim_a.run()
+    sim_b = Simulation(cfg)
+    sim_b.load()
+    while not sim_b._check_termination():
+        sim_b.step_once()
+    np.testing.assert_array_equal(np.asarray(sim_a.state.x),
+                                  np.asarray(sim_b.state.x))
+    assert sim_a.itime == sim_b.itime
+    assert sim_a.time == pytest.approx(sim_b.time)

@@ -1,0 +1,72 @@
+"""Physics integration tests: growth/damping rates vs kinetic theory.
+
+The reference's verification methodology (SURVEY.md section 4): measure
+gamma = d ln(int E^2 dx)/dt / 2 from the simulation (reference
+tools/runinfo.py:116) and compare against the dispersion-relation root
+(reference tools/dispersion.py).  Tolerances cover finite-marker noise and
+finite-dt at the reduced test sizes (the full-size cases in BASELINE.md
+match to well under the tolerances used here).
+"""
+
+import numpy as np
+import pytest
+
+from pic1dp_tpu import Simulation
+from pic1dp_tpu.analysis.dispersion import Dispersion, species_for_config
+from pic1dp_tpu.config import bump_on_tail_default, landau_damping, two_stream
+
+
+def _run(cfg):
+    snaps = []
+    Simulation(cfg).run(snapshot_callback=snaps.append)
+    t = np.array([s["time"] for s in snaps])
+    e = np.array([s["field_energy"] for s in snaps])
+    return t, e
+
+
+def _gamma_fit(t, e, t1, t2):
+    m = (t >= t1) & (t <= t2)
+    return np.polyfit(t[m], np.log(e[m]), 1)[0] / 2.0
+
+
+def _gamma_peaks(t, e, t1, t2):
+    """Fit through the local maxima of the oscillating field energy (for
+    damped oscillations, where the raw fit is biased by the zero crossings)."""
+    pk = [i for i in range(1, len(e) - 1)
+          if e[i] > e[i - 1] and e[i] > e[i + 1] and t1 <= t[i] <= t2]
+    return np.polyfit(t[pk], np.log(e[pk]), 1)[0] / 2.0
+
+
+def test_landau_damping_rate():
+    cfg = landau_damping(nx=64, nparticle=100_000, k=0.5, amp=1e-4,
+                         time_max=20.0, dtype="float64", verbosity=0,
+                         output_interval=0.1)
+    omega = Dispersion(species_for_config(cfg), 0.5).solve_omega()
+    assert omega == pytest.approx(1.4157 - 0.1534j, abs=1e-3)
+    t, e = _run(cfg)
+    gamma = _gamma_peaks(t, e, 1.0, 15.0)
+    assert gamma == pytest.approx(omega.imag, rel=0.04)
+
+
+def test_bump_on_tail_growth_rate():
+    cfg = bump_on_tail_default(nparticle_max=200_000, time_max=70.0,
+                               dtype="float64", verbosity=0,
+                               output_interval=1.0)
+    k = 2.0 * np.pi / cfg.lx
+    omega = Dispersion(species_for_config(cfg), k).solve_omega()
+    assert omega.imag == pytest.approx(0.08383, abs=1e-4)
+    t, e = _run(cfg)
+    gamma = _gamma_fit(t, e, 25.0, 60.0)
+    assert gamma == pytest.approx(omega.imag, rel=0.08)
+
+
+def test_two_stream_growth_rate():
+    cfg = two_stream(nparticle=200_000, time_max=26.0, dtype="float64",
+                     verbosity=0, output_interval=0.5)
+    disp = Dispersion(species_for_config(cfg), 0.2)
+    disp._guesses = [0.01 + 0.3j, 0.02 + 0.5j, 0.05 + 0.4j]
+    omega = disp.solve_omega()
+    assert omega.imag == pytest.approx(0.28451, abs=1e-4)
+    t, e = _run(cfg)
+    gamma = _gamma_fit(t, e, 10.0, 25.0)
+    assert gamma == pytest.approx(omega.imag, rel=0.08)

@@ -103,7 +103,7 @@ def load_particles_multirand(cfg: Config, emulate_ranks: int = 1,
     VecSetSizes(PETSC_DECIDE, ...) reference src/pic1dp_particle.F90:89-94),
     and seeds its engine with mype=r (reference :159-160).
     """
-    from pic1dp_tpu.rng.multirand import MultiRand
+    from pic1dp_tpu.rng.native import make_multirand
 
     dtype = jnp.dtype(cfg.dtype)
     ns, n = cfg.nspecies, cfg.nparticle_max
@@ -118,8 +118,8 @@ def load_particles_multirand(cfg: Config, emulate_ranks: int = 1,
     v = np.empty((ns, n))
 
     for r in range(emulate_ranks):
-        eng = MultiRand(algorithm=rc.algorithm, seed_type=rc.seed_type,
-                        mype=r, warmup=rc.warmup, selftest=False)
+        eng = make_multirand(algorithm=rc.algorithm, seed_type=rc.seed_type,
+                             mype=r, warmup=rc.warmup)
         lo, hi = offsets[r], offsets[r + 1]
         cnt = hi - lo
         for s in range(ns):

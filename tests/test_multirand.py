@@ -72,3 +72,35 @@ class TestDistributions:
         arr = a.real_array(5)
         manual = np.array([b.real64() for _ in range(5)])
         np.testing.assert_array_equal(arr, manual)
+
+
+class TestNativeEngine:
+    """The C++ engine (rng/native) must reproduce the Python oracle: integer
+    and uniform streams bit-exactly; Gaussians to <= 1 ulp (libm log rounding
+    differs between C++ and numpy)."""
+
+    @pytest.fixture(scope="class")
+    def native(self):
+        from pic1dp_tpu.rng import native
+
+        if not native.available():
+            pytest.skip(f"no native build: {native.build_error()}")
+        return native
+
+    @pytest.mark.parametrize("algorithm", [1, 2, 3])
+    def test_matches_python(self, native, algorithm):
+        a = native.NativeMultiRand(algorithm=algorithm, seed_type=1, mype=3,
+                                   warmup=5)
+        b = MultiRand(algorithm=algorithm, seed_type=1, mype=3, warmup=5)
+        assert [a.int64() for _ in range(10)] == [b.int64() for _ in range(10)]
+        np.testing.assert_array_equal(a.real_array(1001), b.real_array(1001))
+        np.testing.assert_allclose(a.gaussian_array(501), b.gaussian_array(501),
+                                   rtol=1e-13, atol=1e-15)
+        # odd-length call leaves a buffered partner; next call must consume it
+        np.testing.assert_allclose(a.gaussian_array(500), b.gaussian_array(500),
+                                   rtol=1e-13, atol=1e-15)
+
+    def test_no_rank_vs_rank(self, native):
+        a = native.NativeMultiRand(3, 1, None, 5)
+        b = MultiRand(3, 1, None, 5)
+        assert [a.int64() for _ in range(5)] == [b.int64() for _ in range(5)]

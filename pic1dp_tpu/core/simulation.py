@@ -34,16 +34,28 @@ class Simulation:
     def __init__(self, cfg: Config, pertb_shape: PertbShape | None = None,
                  out_path: str | None = None, emulate_ranks: int = 1,
                  checkpoint_interval: float | None = None,
-                 checkpoint_path: str | None = None):
+                 checkpoint_path: str | None = None, mesh=None):
+        """`mesh`: None for single-device; a jax.sharding.Mesh (or a device
+        count for a 1-D mesh) runs the whole step pipeline under shard_map
+        with the particle axis sharded (parallel/mesh.py)."""
         self.cfg = cfg.validate()
         self.checkpoint_interval = checkpoint_interval
         self.checkpoint_path = checkpoint_path or "."
         self._last_checkpoint_time = 0.0
-        self.stepper = Stepper(cfg)
+        self.mesh = None
+        if mesh is not None:
+            from pic1dp_tpu.parallel import mesh as pmesh
+
+            self.mesh = pmesh.make_mesh(mesh) if isinstance(mesh, int) else mesh
+            self.stepper = pmesh.ShardedStepper(cfg, self.mesh)
+        else:
+            self.stepper = Stepper(cfg)
+        self._is_io_process = jax.process_index() == 0
         self.pertb_shape = pertb_shape
         self.emulate_ranks = emulate_ranks
         self.timers = PhaseTimers()
-        self.writer = SnapshotWriter(cfg, out_path) if out_path is not None else None
+        self.writer = SnapshotWriter(cfg, out_path) \
+            if out_path is not None and jax.process_index() == 0 else None
         self.state: SimState | None = None
         self.itime = 0
         self.time = 0.0
@@ -53,9 +65,6 @@ class Simulation:
         self._imerge = 0
         self._iremove = 0
         self._isplit = 0
-        self._jit_energies = jax.jit(
-            lambda s: diagnostics.energies(cfg, self.stepper.sp, s)
-        )
         self._multi_step_cache: dict[int, Callable] = {}
 
     # ---- lifecycle ----
@@ -67,6 +76,10 @@ class Simulation:
             self.key, sub = jax.random.split(self.key)
             state = load_particles(self.cfg, sub, self.pertb_shape,
                                    self.emulate_ranks)
+            if self.mesh is not None:
+                from pic1dp_tpu.parallel import mesh as pmesh
+
+                state = pmesh.shard_state(state, self.mesh)
             state = self.stepper.initial_field(state)
             jax.block_until_ready(state.electric)
         self.state = state
@@ -110,14 +123,10 @@ class Simulation:
         if merge is None and remove is None and split is None:
             self.state = self.stepper.step(self.state)
         else:
-            from pic1dp_tpu.core import optimize as opt_mod
-
             state = self.stepper.push_pair(self.state)
             self.key, sub = jax.random.split(self.key)
-            state = opt_mod.apply_optimizations(
-                self.cfg, self.stepper.sp, state, sub,
-                merge=merge, remove=remove, split=split,
-            )
+            state = self.stepper.apply_optimizations(
+                state, sub, merge=merge, remove=remove, split=split)
             if merge is not None:
                 self._imerge += 1
             if remove is not None:
@@ -135,8 +144,8 @@ class Simulation:
         """Compute + (optionally) write one snapshot; returns the scalars."""
         assert self.state is not None
         with self.timers.phase("output"):
-            eng = self._jit_energies(self.state)
-            ptcl = diagnostics.ptcldist(self.cfg, self.stepper.sp, self.state)
+            eng = self.stepper.energies(self.state)
+            ptcl = self.stepper.ptcldist(self.state)
             eng = jax.tree_util.tree_map(np.asarray, eng)
             if self.writer is not None:
                 self.writer.write_snapshot(

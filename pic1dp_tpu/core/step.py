@@ -41,6 +41,7 @@ from pic1dp_tpu.core import diagnostics
 from pic1dp_tpu.core.state import SimState
 from pic1dp_tpu.ops import deposit as deposit_ops
 from pic1dp_tpu.ops import gather as gather_ops
+from pic1dp_tpu.ops import shape_matrix as shape_ops
 from pic1dp_tpu.ops import spectral as spectral_ops
 from pic1dp_tpu.ops.interp import wrap_x
 from pic1dp_tpu.ops.spectral import SpectralOperator
@@ -80,8 +81,13 @@ class Stepper:
     # ---- pieces ----
 
     def _gather(self, x, electric):
-        """E at particle positions, stacked species."""
+        """E at particle positions, stacked species.  EXPLICIT shapes apply
+        the stored COO S (reference MatMult(S, E),
+        src/pic1dp_interaction.F90:213-220); otherwise matrix-free take."""
         cfg = self.cfg
+        if cfg.shape == ParticleShape.EXPLICIT:
+            s_mat = shape_ops.ShapeMatrix.assemble(x, cfg.lx, cfg.nx)
+            return s_mat.gather(electric)
         flat = gather_ops.gather(
             x.reshape(-1), electric, cfg.lx, cfg.nx,
             method="take", chunk=cfg.deposit_chunk,
@@ -94,12 +100,15 @@ class Stepper:
         cfg = self.cfg
         val = w if cfg.deltaf else p
         val = jnp.where(live, val, 0.0) * self.sp.charge
-        grid = deposit_ops.deposit(
-            x.reshape(-1), val.reshape(-1), cfg.lx, cfg.nx,
-            method=cfg.deposit_method.value
-            if cfg.deposit_method != DepositMethod.PALLAS else "onehot",
-            chunk=cfg.deposit_chunk,
-        )
+        if cfg.shape == ParticleShape.EXPLICIT:
+            grid = shape_ops.ShapeMatrix.assemble(x, cfg.lx, cfg.nx).deposit(val)
+        else:
+            grid = deposit_ops.deposit(
+                x.reshape(-1), val.reshape(-1), cfg.lx, cfg.nx,
+                method=cfg.deposit_method.value
+                if cfg.deposit_method != DepositMethod.PALLAS else "onehot",
+                chunk=cfg.deposit_chunk,
+            )
         grid = self._psum(grid)
         rho = grid * (cfg.nx / cfg.lx)
         if not cfg.deltaf:

@@ -1,0 +1,65 @@
+"""Explicit particle-shape matrix S in COO form and its transposed-pair
+application.
+
+The reference's iptclshape strategies 1-3 materialize the N_p x nx hat
+interpolation matrix S (2 nonzeros per row) — as a PETSc AIJ matrix rebuilt
+(1) or refilled (2) each step, or as per-particle (index, weight) arrays (3)
+(reference src/pic1dp_particle.F90:275-350) — and apply the pair
+
+    deposit:  rho_grid = S^T w     (reference src/pic1dp_interaction.F90:46-78)
+    gather:   E_p      = S  E      (reference :213-220)
+
+On TPU the AIJ variants collapse to strategy 3's array form: the COO triplet
+is (ix0, ix1, w0, w1) per particle, assembled once per substep position and
+applied with segment-sum (deposit) and take (gather).  This is the stored-
+shape cross-check path; the production hot loop is matrix-free spectral
+(cfg.shape = MATRIX_FREE, ops/spectral.py) and never assembles S.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from pic1dp_tpu.ops.interp import hat_x
+
+
+class ShapeMatrix(NamedTuple):
+    """COO hat-shape matrix for one set of particle positions: row i has
+    value w0[i] at column ix0[i] and w1[i] at column ix1[i]."""
+
+    ix0: jnp.ndarray
+    ix1: jnp.ndarray
+    w0: jnp.ndarray
+    w1: jnp.ndarray
+    nx: int
+
+    @classmethod
+    def assemble(cls, x: jnp.ndarray, lx, nx: int) -> "ShapeMatrix":
+        """particle_compute_shape_x analogue (reference
+        src/pic1dp_particle.F90:275-350); x must already be wrapped."""
+        ix0, ix1, w0, w1 = hat_x(x, lx, nx)
+        return cls(ix0=ix0, ix1=ix1, w0=w0, w1=w1, nx=nx)
+
+    def deposit(self, val: jnp.ndarray) -> jnp.ndarray:
+        """S^T val -> (nx,) grid (the SpMV-transpose deposition)."""
+        idx = jnp.concatenate([self.ix0.reshape(-1), self.ix1.reshape(-1)])
+        w = jnp.concatenate([(self.w0 * val).reshape(-1),
+                             (self.w1 * val).reshape(-1)])
+        return jax.ops.segment_sum(w, idx, num_segments=self.nx)
+
+    def gather(self, grid: jnp.ndarray) -> jnp.ndarray:
+        """S grid -> per-particle values (the SpMV gather)."""
+        return self.w0 * jnp.take(grid, self.ix0) + \
+            self.w1 * jnp.take(grid, self.ix1)
+
+    def todense(self) -> jnp.ndarray:
+        """Dense S (testing only; rows = flattened particles)."""
+        n = self.ix0.size
+        rows = jnp.arange(n)
+        dense = jnp.zeros((n, self.nx), self.w0.dtype)
+        dense = dense.at[rows, self.ix0.reshape(-1)].add(self.w0.reshape(-1))
+        dense = dense.at[rows, self.ix1.reshape(-1)].add(self.w1.reshape(-1))
+        return dense

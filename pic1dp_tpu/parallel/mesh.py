@@ -117,6 +117,22 @@ class ShardedStepper:
             _ptcldist, mesh, in_specs=(specs,), out_specs=dist_out))
 
         self._opt_cache: dict = {}
+        self._step_inner = shard_map(
+            self.local._step, mesh, in_specs=(specs,), out_specs=specs)
+
+    def make_multi_step(self, k: int):
+        """Jitted k-step lax.scan over the shard_mapped step (one dispatch
+        per output interval, same as Stepper.make_multi_step)."""
+
+        def body(state, _):
+            return self._step_inner(state), None
+
+        @jax.jit
+        def multi(state):
+            out, _ = jax.lax.scan(body, state, None, length=k)
+            return out
+
+        return multi
 
     def apply_optimizations(self, state: SimState, key, merge=None,
                             remove=None, split=None) -> SimState:

@@ -65,6 +65,14 @@ def main(argv=None) -> int:
                     help="write a checkpoint every so much simulation time")
     ap.add_argument("--resume", metavar="<checkpoint.npz>",
                     help="resume from a checkpoint written by a previous run")
+    ap.add_argument("--mesh", metavar="<n devices>", type=int, default=None,
+                    help="shard the particle axis over an n-device mesh "
+                    "(default: all devices if more than one)")
+    ap.add_argument("--distributed", action="store_true",
+                    help="initialize the multi-host JAX runtime first "
+                    "(pod slices; parallel/launch.py)")
+    ap.add_argument("--profile", metavar="<trace dir>", default=None,
+                    help="capture a jax.profiler trace of the run")
     args = ap.parse_args(argv)
 
     if args.config:
@@ -82,14 +90,30 @@ def main(argv=None) -> int:
         print(f"config written to {args.write_config}")
         return 0
 
+    import jax
+
     from pic1dp_tpu.core.simulation import Simulation
+
+    if args.distributed:
+        from pic1dp_tpu.parallel import launch
+
+        launch.initialize()
+    mesh = args.mesh
+    if mesh is None and jax.device_count() > 1:
+        mesh = jax.device_count()
 
     sim = Simulation(cfg, out_path=None if args.no_output else args.out,
                      checkpoint_interval=args.checkpoint_interval,
-                     checkpoint_path=None if args.no_output else args.out)
+                     checkpoint_path=None if args.no_output else args.out,
+                     mesh=mesh)
     if args.resume:
         sim.restore_checkpoint(args.resume)
-    sim.run()
+    if args.profile:
+        with jax.profiler.trace(args.profile):
+            sim.run()
+        print(f"profiler trace written to {args.profile}")
+    else:
+        sim.run()
     return 0
 
 

@@ -149,3 +149,53 @@ class TestSpectral:
         e, mre, mim = op.solve(jnp.asarray(amp * np.sin(k * xgrid)))
         np.testing.assert_allclose(mre[0], -amp / (2 * k), rtol=1e-10)
         np.testing.assert_allclose(mim[0], 0.0, atol=1e-12)
+
+
+class TestShapeMatrix:
+    """COO shape matrix (ops/shape_matrix.py): adjoint transposed pair,
+    partition of unity, agreement with the matrix-free operators."""
+
+    def _mat(self, n=500, nx=32, lx=7.3, seed=0):
+        from pic1dp_tpu.ops.shape_matrix import ShapeMatrix
+
+        x = jax.random.uniform(jax.random.PRNGKey(seed), (n,), jnp.float64) * lx
+        return x, ShapeMatrix.assemble(x, lx, nx)
+
+    def test_partition_of_unity(self):
+        _, s = self._mat()
+        np.testing.assert_allclose(np.asarray(s.w0 + s.w1), 1.0, atol=1e-12)
+
+    def test_dense_consistency(self):
+        _, s = self._mat()
+        dense = np.asarray(s.todense())
+        val = np.linspace(-1, 1, 500)
+        np.testing.assert_allclose(np.asarray(s.deposit(jnp.asarray(val))),
+                                   dense.T @ val, atol=1e-12)
+        grid = np.sin(np.arange(32))
+        np.testing.assert_allclose(np.asarray(s.gather(jnp.asarray(grid))),
+                                   dense @ grid, atol=1e-12)
+
+    def test_adjointness(self):
+        """<S v, g> == <v, S^T g> — deposition and gather are exact
+        transposes (SURVEY.md section 4 test strategy)."""
+        _, s = self._mat()
+        v = np.asarray(jax.random.normal(jax.random.PRNGKey(1), (500,), jnp.float64))
+        g = np.asarray(jax.random.normal(jax.random.PRNGKey(2), (32,), jnp.float64))
+        lhs = float(np.dot(np.asarray(s.gather(jnp.asarray(g))), v))
+        rhs = float(np.dot(np.asarray(s.deposit(jnp.asarray(v))), g))
+        assert lhs == pytest.approx(rhs, rel=1e-12)
+
+    def test_matches_matrix_free_ops(self):
+        from pic1dp_tpu.ops import deposit as deposit_ops
+        from pic1dp_tpu.ops import gather as gather_ops
+
+        x, s = self._mat()
+        val = jax.random.normal(jax.random.PRNGKey(3), (500,), jnp.float64)
+        np.testing.assert_allclose(
+            np.asarray(s.deposit(val)),
+            np.asarray(deposit_ops.deposit(x, val, 7.3, 32, method="onehot")),
+            atol=1e-12)
+        grid = jax.random.normal(jax.random.PRNGKey(4), (32,), jnp.float64)
+        np.testing.assert_allclose(
+            np.asarray(s.gather(grid)),
+            np.asarray(gather_ops.gather(x, grid, 7.3, 32)), atol=1e-12)

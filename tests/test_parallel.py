@@ -87,3 +87,22 @@ class TestShardedStep:
         cfg = landau_damping(nx=64, nparticle=8191, dtype="float64")
         with pytest.raises(ValueError, match="divisible"):
             pmesh.ShardedStepper(cfg, pmesh.make_mesh(8))
+
+
+class TestShardedSimulation:
+    """End-to-end Simulation on an 8-device mesh must match single-device."""
+
+    def test_simulation_mesh_matches_single(self, devices):
+        from pic1dp_tpu import Simulation
+
+        cfg = landau_damping(nx=32, nparticle=8192, time_max=1.0,
+                             output_interval=0.25, dtype="float64",
+                             verbosity=0)
+        snaps_1, snaps_8 = [], []
+        Simulation(cfg).run(snapshot_callback=snaps_1.append)
+        Simulation(cfg, mesh=8).run(snapshot_callback=snaps_8.append)
+        assert len(snaps_1) == len(snaps_8)
+        for a, b in zip(snaps_1, snaps_8):
+            assert a["time"] == b["time"]
+            np.testing.assert_allclose(a["field_energy"], b["field_energy"],
+                                       rtol=1e-9)

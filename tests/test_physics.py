@@ -70,3 +70,33 @@ def test_two_stream_growth_rate():
     t, e = _run(cfg)
     gamma = _gamma_fit(t, e, 10.0, 25.0)
     assert gamma == pytest.approx(omega.imag, rel=0.08)
+
+
+def test_fullf_matches_deltaf_when_signal_dominates():
+    """full-f and delta-f solve the same Vlasov-Poisson system; with the
+    seed amplitude well above the full-f equilibrium sampling noise
+    (sigma ~ lx/sqrt(2N)) the field-energy histories must agree."""
+    import dataclasses
+
+    base = landau_damping(nx=32, nparticle=400_000, amp=1e-1, time_max=2.0,
+                          output_interval=0.25, dtype="float64", verbosity=0)
+    t, e_df = _run(base)
+    _, e_ff = _run(dataclasses.replace(base, deltaf=False))
+    assert np.max(np.abs(e_ff - e_df)) / np.max(e_df) < 0.06
+
+
+def test_linear_mode_matches_nonlinear_at_small_amplitude():
+    """cfg.linear freezes v and drives w with p*E (reference
+    src/pic1dp_interaction.F90:267-271); at 1e-4 seed amplitude the linear
+    and nonlinear damping rates must coincide."""
+    import dataclasses
+
+    base = landau_damping(nx=64, nparticle=50_000, k=0.5, amp=1e-4,
+                          time_max=15.0, output_interval=0.1,
+                          dtype="float64", verbosity=0)
+    t, e_nl = _run(base)
+    t, e_li = _run(dataclasses.replace(base, linear=True))
+    g_nl = _gamma_peaks(t, e_nl, 1.0, 12.0)
+    g_li = _gamma_peaks(t, e_li, 1.0, 12.0)
+    assert g_li == pytest.approx(g_nl, rel=0.02)
+    assert g_li == pytest.approx(-0.1534, rel=0.06)

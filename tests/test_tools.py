@@ -146,3 +146,23 @@ def test_chunked_run_matches_per_step():
                                   np.asarray(sim_b.state.x))
     assert sim_a.itime == sim_b.itime
     assert sim_a.time == pytest.approx(sim_b.time)
+
+
+def test_multirand_backend_deterministic_loading():
+    """rng backend 'multirand' with a constant seed loads identical markers
+    across runs and across emulated rank counts ONLY when the rank layout
+    matches (rank-block ownership changes the draw order, as in the
+    reference)."""
+    import dataclasses
+
+    from pic1dp_tpu.config import RngConfig
+    from pic1dp_tpu.core.loading import load_particles
+
+    cfg = landau_damping(nx=32, nparticle=8192, dtype="float64", verbosity=0)
+    cfg = dataclasses.replace(cfg, rng=RngConfig(backend="multirand"))
+    a = load_particles(cfg, emulate_ranks=4)
+    b = load_particles(cfg, emulate_ranks=4)
+    np.testing.assert_array_equal(np.asarray(a.x), np.asarray(b.x))
+    np.testing.assert_array_equal(np.asarray(a.v), np.asarray(b.v))
+    c = load_particles(cfg, emulate_ranks=2)
+    assert not np.array_equal(np.asarray(a.x), np.asarray(c.x))

@@ -88,7 +88,7 @@ def _trig_block(x, lx, nx: int, modes, dtype):
 
 
 def make_substep_call(cfg: Config, s: int, dt_frac: float, with_backups: bool,
-                      n: int, *, max_rows: int = 512, interpret: bool = False):
+                      n: int, *, max_rows: int = 256, interpret: bool = False):
     """Build the fused substep for species `s`.
 
     Returns fn(x, v, p, w[, x0, v0, w0], mode_re, mode_im)

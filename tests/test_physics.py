@@ -100,3 +100,32 @@ def test_linear_mode_matches_nonlinear_at_small_amplitude():
     g_li = _gamma_peaks(t, e_li, 1.0, 12.0)
     assert g_li == pytest.approx(g_nl, rel=0.02)
     assert g_li == pytest.approx(-0.1534, rel=0.06)
+
+
+def test_two_maxwellian_species_match_two_stream_equilibrium():
+    """Multi-species parity: two counter-streaming Maxwellian SPECIES must
+    reproduce the growth rate of the built-in two-stream2 EQUILIBRIUM (a
+    pair of counter-streaming Maxwellian components inside one species) —
+    the same physical system expressed through the nspecies axis."""
+    from pic1dp_tpu.config import Config, Equilibrium, SpeciesConfig
+
+    cfg = Config(
+        linear=False,
+        lx=2.0 * np.pi / 0.2,
+        equilibrium=Equilibrium.MAXWELLIAN,
+        species=(
+            SpeciesConfig(charge=-1.0, mass=1.0, temperature=1.0,
+                          density=0.5, v0=3.0),
+            SpeciesConfig(charge=-1.0, mass=1.0, temperature=1.0,
+                          density=0.5, v0=-3.0),
+        ),
+        nx=256,
+        nparticle_max=100_000,   # per species
+        time_max=26.0,
+        output_interval=0.5,
+        dtype="float64",
+        verbosity=0,
+    ).validate()
+    t, e = _run(cfg)
+    gamma = _gamma_fit(t, e, 10.0, 25.0)
+    assert gamma == pytest.approx(0.28451, rel=0.09)

@@ -21,6 +21,7 @@ def _run(cfg):
     Simulation(cfg).run(snapshot_callback=snaps.append)
     t = np.array([s["time"] for s in snaps])
     e = np.array([s["field_energy"] for s in snaps])
+    _run.last_snaps = snaps
     return t, e
 
 
@@ -70,6 +71,13 @@ def test_two_stream_growth_rate():
     t, e = _run(cfg)
     gamma = _gamma_fit(t, e, 10.0, 25.0)
     assert gamma == pytest.approx(omega.imag, rel=0.08)
+    # conservation oracle (SURVEY.md section 4 item 5): total energy
+    # E = KE/2 + int E^2 dx / 2 must be conserved by the RK2 push to a
+    # small fraction of the kinetic energy
+    snaps = _run.last_snaps
+    ke = np.array([float(np.sum(s["total"])) for s in snaps])
+    etot = 0.5 * ke + 0.5 * e
+    assert np.max(np.abs(etot - etot[0])) / ke[0] < 1e-4
 
 
 def test_fullf_matches_deltaf_when_signal_dominates():

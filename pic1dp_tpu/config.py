@@ -196,6 +196,11 @@ class Config:
     dtype: str = "float32"            # particle/field dtype
     deposit_method: DepositMethod = DepositMethod.ONEHOT
     deposit_chunk: int = 16384        # particles per one-hot contraction chunk
+    # On the matrix-free path the in-state rho(x) is the kept-mode
+    # reconstruction (all the solver ever uses).  Set True to additionally
+    # deposit the FULL grid charge at snapshot time, byte-matching the
+    # reference's diagnostic rho stream (costs one histogram per snapshot).
+    diag_full_rho: bool = False
 
     # optimization schedules
     optimization: OptimizationConfig = OptimizationConfig()

@@ -147,10 +147,15 @@ class Simulation:
             eng = self.stepper.energies(self.state)
             ptcl = self.stepper.ptcldist(self.state)
             eng = jax.tree_util.tree_map(np.asarray, eng)
+            rho = self.state.rho
+            if self.cfg.diag_full_rho and self.writer is not None:
+                # exact full-spectrum grid charge for the diagnostic stream
+                # (reference writes the deposited rho, all modes)
+                rho = self.stepper.full_rho(self.state)
             if self.writer is not None:
                 self.writer.write_snapshot(
                     self.time, eng, self.state.mode_re, self.state.mode_im,
-                    self.state.electric, self.state.rho, ptcl,
+                    self.state.electric, rho, ptcl,
                 )
         if self.cfg.verbosity >= 1:
             self._print_progress(float(eng.field))

@@ -72,6 +72,8 @@ class Stepper:
             lambda s: diagnostics.energies(cfg, self.sp, s, self.axis_name))
         self.ptcldist = jax.jit(
             lambda s: diagnostics.ptcldist(cfg, self.sp, s))
+        self.full_rho = jax.jit(
+            lambda s: self.deposit_charge(s.x, s.p, s.w, s.live))
 
     def _psum(self, x):
         if self.axis_name is not None:

@@ -116,6 +116,13 @@ class ShardedStepper:
         self.ptcldist = jax.jit(shard_map(
             _ptcldist, mesh, in_specs=(specs,), out_specs=dist_out))
 
+        def _full_rho(state):
+            return self.local.deposit_charge(state.x, state.p, state.w,
+                                             state.live)
+
+        self.full_rho = jax.jit(shard_map(
+            _full_rho, mesh, in_specs=(specs,), out_specs=P()))
+
         self._opt_cache: dict = {}
         self._step_inner = shard_map(
             self.local._step, mesh, in_specs=(specs,), out_specs=specs)

@@ -166,3 +166,23 @@ def test_multirand_backend_deterministic_loading():
     np.testing.assert_array_equal(np.asarray(a.v), np.asarray(b.v))
     c = load_particles(cfg, emulate_ranks=2)
     assert not np.array_equal(np.asarray(a.x), np.asarray(c.x))
+
+
+def test_diag_full_rho(tmp_path):
+    """diag_full_rho=True writes the full deposited grid charge (all
+    spatial modes) instead of the kept-mode reconstruction."""
+    import dataclasses
+
+    cfg = landau_damping(nx=32, nparticle=8192, time_max=0.5,
+                         output_interval=0.25, dtype="float64", verbosity=0,
+                         nx_opd=16, nv_opd=16)
+    cfg_full = dataclasses.replace(cfg, diag_full_rho=True)
+    Simulation(cfg, out_path=str(tmp_path / "a")).run()
+    Simulation(cfg_full, out_path=str(tmp_path / "b")).run()
+    rho_kept = OutputData(str(tmp_path / "a")).get_field_x(0)[1]
+    rho_full = OutputData(str(tmp_path / "b")).get_field_x(0)[1]
+    # kept-mode rho is exactly the mode-1 projection of the full rho
+    k1 = np.exp(2j * np.pi * np.arange(32) / 32)
+    proj_full = 2.0 * np.real(np.mean(rho_full[:32] * np.conj(k1)) * k1)
+    np.testing.assert_allclose(rho_kept[:32], proj_full, atol=1e-10)
+    assert not np.allclose(rho_kept, rho_full)

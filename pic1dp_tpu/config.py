@@ -94,11 +94,15 @@ class ParticleShape(enum.IntEnum):
 class DepositMethod(str, enum.Enum):
     """Backend for charge deposition / field gather.
 
+    AUTO: PALLAS when running on a TPU backend with a matrix-free shape and
+          a 1024-aligned particle capacity; ONEHOT otherwise (resolved at
+          Stepper construction).
     ONEHOT: chunked one-hot contraction, MXU matmuls under lax.map (pure XLA).
     SEGMENT: jax segment_sum scatter-add (pure XLA; correctness baseline).
     PALLAS: fused Pallas TPU kernel (fast path).
     """
 
+    AUTO = "auto"
     ONEHOT = "onehot"
     SEGMENT = "segment"
     PALLAS = "pallas"
@@ -194,7 +198,7 @@ class Config:
 
     # TPU-specific numerics (no reference equivalent)
     dtype: str = "float32"            # particle/field dtype
-    deposit_method: DepositMethod = DepositMethod.ONEHOT
+    deposit_method: DepositMethod = DepositMethod.AUTO
     deposit_chunk: int = 16384        # particles per one-hot contraction chunk
     # On the matrix-free path the in-state rho(x) is the kept-mode
     # reconstruction (all the solver ever uses).  Set True to additionally

@@ -63,6 +63,16 @@ class Stepper:
         self.cfg = cfg
         self.axis_name = axis_name
         self._fused = None  # lazily built FusedStepper (pallas path)
+        # resolve DepositMethod.AUTO: fused Pallas on a TPU backend when the
+        # config is eligible, pure-XLA one-hot everywhere else
+        self.deposit_method = cfg.deposit_method
+        if self.deposit_method == DepositMethod.AUTO:
+            eligible = (cfg.shape == ParticleShape.MATRIX_FREE
+                        and cfg.nparticle_max % 1024 == 0)
+            self.deposit_method = (
+                DepositMethod.PALLAS
+                if eligible and jax.default_backend() == "tpu"
+                else DepositMethod.ONEHOT)
         self.dtype = jnp.dtype(cfg.dtype)
         self.spectral = SpectralOperator.create(cfg.nx, cfg.modes, cfg.lx, self.dtype)
         self.sp = dist.SpeciesParams.from_config(cfg, self.dtype)
@@ -107,8 +117,8 @@ class Stepper:
         else:
             grid = deposit_ops.deposit(
                 x.reshape(-1), val.reshape(-1), cfg.lx, cfg.nx,
-                method=cfg.deposit_method.value
-                if cfg.deposit_method != DepositMethod.PALLAS else "onehot",
+                method=self.deposit_method.value
+                if self.deposit_method == DepositMethod.SEGMENT else "onehot",
                 chunk=cfg.deposit_chunk,
             )
         grid = self._psum(grid)
@@ -229,7 +239,7 @@ class Stepper:
     def _step(self, state: SimState) -> SimState:
         """One full RK2 step (two substeps), no particle optimization."""
         if self.cfg.shape == ParticleShape.MATRIX_FREE:
-            if self.cfg.deposit_method == DepositMethod.PALLAS:
+            if self.deposit_method == DepositMethod.PALLAS:
                 return self._step_spectral_pallas(state)
             return self._step_spectral(state)
         return self._step_grid(state)

@@ -45,11 +45,13 @@ def measure_baseline() -> float:
         if not os.path.exists(exe) or os.path.getmtime(exe) < os.path.getmtime(src):
             subprocess.run(["g++", "-O3", "-march=native", "-o", exe, src],
                            check=True, capture_output=True, timeout=120)
-        out = subprocess.run([exe, "2000000", "192", "10"], check=True,
-                             capture_output=True, timeout=300, text=True)
-        per_core = float(out.stdout.strip())
+        per_core = max(
+            float(subprocess.run([exe, "2000000", "192", "10"], check=True,
+                                 capture_output=True, timeout=300,
+                                 text=True).stdout.strip())
+            for _ in range(3))  # best-of-3: machine-noise-free upper bound
         log(f"baseline: C++ hot loop {per_core:.3e} pushes/s/core "
-            f"x {REF_RANKS} ranks")
+            f"x {REF_RANKS} ranks (best of 3)")
         return per_core * REF_RANKS
     except Exception as e:  # noqa: BLE001 — any failure -> documented constant
         log(f"baseline: measurement failed ({e!r}); using fallback "

@@ -22,6 +22,8 @@ from __future__ import annotations
 
 from typing import Callable
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -68,9 +70,14 @@ def _finish_load(cfg: Config, x, v, p, w) -> SimState:
     return state
 
 
+@functools.partial(jax.jit, static_argnums=(0, 2))
 def load_particles_jax(cfg: Config, key: jax.Array,
                        pertb_shape: PertbShape | None = None) -> SimState:
-    """Load markers with jax.random (counter-based, shard-friendly)."""
+    """Load markers with jax.random (counter-based, shard-friendly).
+
+    Jitted as ONE computation (cfg and the pertb hook are static): without
+    this, the eager op-by-op dispatch dominates startup on remote-compile
+    backends."""
     dtype = jnp.dtype(cfg.dtype)
     ns, n = cfg.nspecies, cfg.nparticle_max
     sp = dist.SpeciesParams.from_config(cfg, dtype)

@@ -186,3 +186,42 @@ def test_diag_full_rho(tmp_path):
     proj_full = 2.0 * np.real(np.mean(rho_full[:32] * np.conj(k1)) * k1)
     np.testing.assert_allclose(rho_kept[:32], proj_full, atol=1e-10)
     assert not np.allclose(rho_kept, rho_full)
+
+
+def test_visual_app_headless(small_run):
+    """The interactive viewer must build all panels headlessly (Agg)."""
+    import matplotlib
+
+    matplotlib.use("Agg", force=True)
+    from pic1dp_tpu.analysis.visual import VisualApp
+
+    _, out = small_run
+    app = VisualApp(out)
+    app.itime = 2
+    app.twindow = (0.5, 2.0)
+    app.update_all()
+    app._on_dist("total f")
+    app._on_mode("mode 1")
+    assert app.fig is not None
+    import matplotlib.pyplot as plt
+
+    plt.close(app.fig)
+
+
+def test_visual_dispersion_headless():
+    import matplotlib
+
+    matplotlib.use("Agg", force=True)
+    import numpy as np
+
+    from pic1dp_tpu.analysis.dispersion import Dispersion, Species
+    from pic1dp_tpu.analysis.visual_dispersion import VisualDispersion
+
+    disp = Dispersion([Species(-1, 1, 1, 1, 0)], 0.5)
+    ks = np.linspace(0.3, 0.6, 7)
+    omegas = disp.scan_k(ks)
+    app = VisualDispersion(disp, ks, omegas)
+    app._on_species("species 0")
+    import matplotlib.pyplot as plt
+
+    plt.close(app.fig)

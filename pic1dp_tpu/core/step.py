@@ -250,7 +250,7 @@ class Stepper:
         from pic1dp_tpu.ops.pallas_kernels import FusedStepper
 
         if self._fused is None:
-            self._fused = FusedStepper(self.cfg)
+            self._fused = FusedStepper(self.cfg, axis_name=self.axis_name)
         cfg = self.cfg
         x0, v0, w0 = state.x, state.v, state.w
         p, live = state.p, state.live

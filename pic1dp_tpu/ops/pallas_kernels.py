@@ -88,7 +88,8 @@ def _trig_block(x, lx, nx: int, modes, dtype):
 
 
 def make_substep_call(cfg: Config, s: int, dt_frac: float, with_backups: bool,
-                      n: int, *, max_rows: int = 256, interpret: bool = False):
+                      n: int, *, max_rows: int = 256, interpret: bool = False,
+                      axis_name: str | None = None):
     """Build the fused substep for species `s`.
 
     Returns fn(x, v, p, w[, x0, v0, w0], mode_re, mode_im)
@@ -106,6 +107,7 @@ def make_substep_call(cfg: Config, s: int, dt_frac: float, with_backups: bool,
     dtype = jnp.dtype(cfg.dtype)
     nmode = len(cfg.modes)
     sp = _ScalarSpecies(cfg, s)
+    vma = frozenset() if axis_name is None else frozenset({axis_name})
     dt_eff = dt_frac * cfg.dt
     q_over_m = sp.charge / sp.mass
     deposit_scale = sp.charge  # val = charge * (w' | p)
@@ -176,11 +178,13 @@ def make_substep_call(cfg: Config, s: int, dt_frac: float, with_backups: bool,
     call = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
+        # under shard_map every output varies across the particle mesh axis
+        # (the proj partials are psum'd by the caller)
         out_shape=(
-            jax.ShapeDtypeStruct((nrows, 128), dtype),
-            jax.ShapeDtypeStruct((nrows, 128), dtype),
-            jax.ShapeDtypeStruct((nrows, 128), dtype),
-            jax.ShapeDtypeStruct((2, nmode), dtype),
+            jax.ShapeDtypeStruct((nrows, 128), dtype, vma=vma),
+            jax.ShapeDtypeStruct((nrows, 128), dtype, vma=vma),
+            jax.ShapeDtypeStruct((nrows, 128), dtype, vma=vma),
+            jax.ShapeDtypeStruct((2, nmode), dtype, vma=vma),
         ),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
@@ -203,32 +207,48 @@ def make_substep_call(cfg: Config, s: int, dt_frac: float, with_backups: bool,
 
 class FusedStepper:
     """Per-config factory of the fused substep callables (both substeps,
-    every species), used by core.step.Stepper when
-    cfg.deposit_method == PALLAS."""
+    every species), used by core.step.Stepper when the resolved deposit
+    method is PALLAS.  Kernels are built lazily per particle-array length:
+    under shard_map the per-device shard length (nparticle_max / mesh size)
+    is what reaches the kernel, not the global capacity."""
 
-    def __init__(self, cfg: Config, interpret: bool | None = None):
+    def __init__(self, cfg: Config, interpret: bool | None = None,
+                 axis_name: str | None = None):
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
         self.cfg = cfg
-        n = cfg.nparticle_max
-        self.sub1 = [make_substep_call(cfg, s, 0.5, False, n, interpret=interpret)
-                     for s in range(cfg.nspecies)]
-        self.sub2 = [make_substep_call(cfg, s, 1.0, True, n, interpret=interpret)
-                     for s in range(cfg.nspecies)]
+        self.interpret = interpret
+        self.axis_name = axis_name
+        self._subs: dict = {}
+
+    def _sub(self, dt_frac: float, with_backups: bool, s: int, n: int):
+        key = (dt_frac, with_backups, s, n)
+        if key not in self._subs:
+            self._subs[key] = make_substep_call(
+                self.cfg, s, dt_frac, with_backups, n,
+                interpret=self.interpret, axis_name=self.axis_name)
+        return self._subs[key]
 
     def substep1(self, x, v, p, w, mode_re, mode_im):
         """(ns, N) arrays -> (x', v', w', (p_c, p_s)) summed over species."""
-        return self._run(self.sub1, (x, v, p, w), mode_re, mode_im)
+        return self._run(0.5, False, (x, v, p, w), mode_re, mode_im)
 
     def substep2(self, x, v, p, w, x0, v0, w0, mode_re, mode_im):
-        return self._run(self.sub2, (x, v, p, w, x0, v0, w0), mode_re, mode_im)
+        return self._run(1.0, True, (x, v, p, w, x0, v0, w0), mode_re, mode_im)
 
-    def _run(self, subs, particle_arrays, mode_re, mode_im):
+    def _run(self, dt_frac, with_backups, particle_arrays, mode_re, mode_im):
         ns = self.cfg.nspecies
+        n = particle_arrays[0].shape[-1]
+        if self.axis_name is not None:
+            # replicated mode scalars -> varying, so every kernel input
+            # carries the same manual-axes set under shard_map
+            mode_re = jax.lax.pvary(mode_re, self.axis_name)
+            mode_im = jax.lax.pvary(mode_im, self.axis_name)
         outs = []
         for s in range(ns):
             per_species = tuple(a[s] for a in particle_arrays)
-            outs.append(subs[s](*per_species, mode_re, mode_im))
+            fn = self._sub(dt_frac, with_backups, s, n)
+            outs.append(fn(*per_species, mode_re, mode_im))
         x = jnp.stack([o[0] for o in outs])
         v = jnp.stack([o[1] for o in outs])
         w = jnp.stack([o[2] for o in outs])

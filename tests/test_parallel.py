@@ -106,3 +106,28 @@ class TestShardedSimulation:
             assert a["time"] == b["time"]
             np.testing.assert_allclose(a["field_energy"], b["field_energy"],
                                        rtol=1e-9)
+
+
+class TestShardedPallas:
+    """The fused Pallas substep (interpret mode on CPU) must compose with
+    shard_map: per-device kernels + mode-projection psum."""
+
+    def test_pallas_step_under_mesh(self, devices):
+        import dataclasses
+
+        from pic1dp_tpu.config import DepositMethod
+
+        cfg = landau_damping(nx=64, nparticle=8192, dtype="float64",
+                             verbosity=0)
+        cfg_p = dataclasses.replace(cfg, deposit_method=DepositMethod.PALLAS)
+        mesh = pmesh.make_mesh(8)
+        single = Stepper(cfg)
+        sharded = pmesh.ShardedStepper(cfg_p, mesh)
+        state = single.initial_field(
+            __import__("pic1dp_tpu.core.loading", fromlist=["load_particles"])
+            .load_particles(cfg, jax.random.PRNGKey(0)))
+        a = single.step(state)
+        b = sharded.step(pmesh.shard_state(state, mesh))
+        np.testing.assert_allclose(np.asarray(b.x), np.asarray(a.x), atol=1e-12)
+        np.testing.assert_allclose(np.asarray(b.mode_re), np.asarray(a.mode_re),
+                                   rtol=1e-10)

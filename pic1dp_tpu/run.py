@@ -73,6 +73,9 @@ def main(argv=None) -> int:
                     "(pod slices; parallel/launch.py)")
     ap.add_argument("--profile", metavar="<trace dir>", default=None,
                     help="capture a jax.profiler trace of the run")
+    ap.add_argument("--emulate-ranks", type=int, default=1, metavar="<npe>",
+                    help="with -s rng='{\"backend\": \"multirand\"}': load "
+                    "markers in the draw order of an npe-rank reference run")
     args = ap.parse_args(argv)
 
     if args.config:
@@ -105,7 +108,7 @@ def main(argv=None) -> int:
     sim = Simulation(cfg, out_path=None if args.no_output else args.out,
                      checkpoint_interval=args.checkpoint_interval,
                      checkpoint_path=None if args.no_output else args.out,
-                     mesh=mesh)
+                     mesh=mesh, emulate_ranks=args.emulate_ranks)
     if args.resume:
         sim.restore_checkpoint(args.resume)
     if args.profile:

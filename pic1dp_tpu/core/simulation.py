@@ -159,6 +159,15 @@ class Simulation:
                 )
         if self.cfg.verbosity >= 1:
             self._print_progress(float(eng.field))
+        if not np.isfinite(eng.field):
+            # failure detection the reference lacks (SURVEY.md section 5):
+            # blow-ups surface as a hard error at the next snapshot instead
+            # of silently producing garbage output
+            raise FloatingPointError(
+                f"non-finite field energy at t = {self.time:.4f} "
+                f"(itime = {self.itime}); the run has diverged — reduce dt "
+                "or check the configuration. Last checkpoint (if enabled) "
+                f"is in {self.checkpoint_path!r}.")
         return {"time": self.time, "field_energy": float(eng.field),
                 "marker": eng.marker, "total": eng.total, "pertb": eng.pertb}
 

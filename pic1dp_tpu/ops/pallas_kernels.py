@@ -67,6 +67,42 @@ def _largest_divisor(n: int, limit: int) -> int:
     return 8
 
 
+def _fast_wrap(x, lx: float):
+    """Periodic wrap via x - lx*floor(x/lx) with a static reciprocal —
+    division-free (VPU divisions are ~8x slower than multiplies).  The
+    reciprocal rounding can land 1 ulp outside [0, lx); the selects fix it."""
+    y = x - lx * jnp.floor(x * (1.0 / lx))
+    return jnp.where(y >= lx, y - lx, jnp.where(y < 0.0, y + lx, y))
+
+
+def _minus_dlnf0_dv_fast(eq, sp, v):
+    """distributions.minus_dlnf0_dv with static python-float species
+    parameters algebraically folded so at most ONE division survives
+    (the weighted-mean ratio); bitwise-equal where no division is saved."""
+    from pic1dp_tpu.config import Equilibrium
+
+    vth2 = sp.temperature / sp.mass
+    inv_vth2 = 1.0 / vth2
+    if eq == Equilibrium.MAXWELLIAN:
+        return (v - sp.v0) * inv_vth2
+    if eq == Equilibrium.TWO_STREAM1:
+        return v - 2.0 / v
+    if eq == Equilibrium.TWO_STREAM2:
+        ep = jnp.exp(-(v + sp.v0) ** 2 * (0.5 * inv_vth2))
+        em = jnp.exp(-(v - sp.v0) ** 2 * (0.5 * inv_vth2))
+        return ((v + sp.v0) * ep + (v - sp.v0) * em) * inv_vth2 / (ep + em)
+    if eq == Equilibrium.BUMP_ON_TAIL:
+        vth2b = sp.temperature2 / sp.mass
+        inv_vth2b = 1.0 / vth2b
+        c_core = sp.density / math.sqrt(vth2)
+        c_beam = (1.0 - sp.density) / math.sqrt(vth2b)
+        core = c_core * jnp.exp(-v * v * (0.5 * inv_vth2))
+        beam = c_beam * jnp.exp(-(v - sp.v0) ** 2 * (0.5 * inv_vth2b))
+        return (core * v * inv_vth2 + beam * (v - sp.v0) * inv_vth2b) \
+            / (core + beam)
+    raise ValueError(f"unknown equilibrium {eq}")
+
+
 def _trig_block(x, lx, nx: int, modes, dtype):
     """mode_trig specialized for in-kernel blocks (same math as
     ops/spectral.mode_trig)."""
@@ -136,10 +172,10 @@ def make_substep_call(cfg: Config, s: int, dt_frac: float, with_backups: bool,
         e_p = 2.0 * e
 
         # -- push, reference ordering: x, w, v --
-        x_new = wrap_x(xb_ref[:] + dt_eff * v, cfg.lx)
+        x_new = _fast_wrap(xb_ref[:] + dt_eff * v, cfg.lx)
         if cfg.deltaf:
             drive = (p * e_p) if cfg.linear else ((p - w) * e_p)
-            kern = dist.minus_dlnf0_dv(cfg.equilibrium, sp, v)
+            kern = _minus_dlnf0_dv_fast(cfg.equilibrium, sp, v)
             w_new = wb_ref[:] + (dt_eff * q_over_m) * drive * kern
         else:
             w_new = w

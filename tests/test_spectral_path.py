@@ -24,6 +24,10 @@ def _cases():
     yield "landau_linear", dataclasses.replace(
         landau_damping(nx=64, nparticle=30000, dtype="float64", verbosity=0),
         linear=True)
+    yield "multimode", dataclasses.replace(
+        landau_damping(nx=64, nparticle=30000, dtype="float64", verbosity=0),
+        modes=(1, 2, 3), init_modes=(1, 2), init_amp_cos=(1e-5, 0.0),
+        init_amp_sin=(1e-4, 5e-5))
 
 
 @pytest.mark.parametrize("name,cfg", list(_cases()), ids=lambda c: c if isinstance(c, str) else "")

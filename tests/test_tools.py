@@ -225,3 +225,15 @@ def test_visual_dispersion_headless():
     import matplotlib.pyplot as plt
 
     plt.close(app.fig)
+
+
+def test_divergence_detection():
+    """A diverging run (absurd dt) must raise at the next snapshot instead
+    of writing garbage (failure detection the reference lacks)."""
+    import dataclasses
+
+    cfg = landau_damping(nx=32, nparticle=4096, amp=1.0, time_max=50.0,
+                         dtype="float64", verbosity=0, output_interval=10.0)
+    cfg = dataclasses.replace(cfg, dt=5.0)
+    with pytest.raises(FloatingPointError, match="diverged"):
+        Simulation(cfg).run()

@@ -94,7 +94,9 @@ def merge_particles(cfg: Config, state: SimState, thsh: float,
 
         wa = w[i1]
         wb = w[i2]
-        denom = wa + wb
+        # same-sign bins make wa + wb == 0 only when both are exactly 0
+        # (possible at t=0 with zero seed amplitude); keep those unmerged-safe
+        denom = jnp.where(wa + wb != 0.0, wa + wb, 1.0)
         x_m = (wa * x[i1] + wb * x[i2]) / denom
         v_m = (wa * v[i1] + wb * v[i2]) / denom
         p_m = p[i1] + p[i2]

@@ -185,19 +185,26 @@ def make_substep_call(cfg: Config, s: int, dt_frac: float, with_backups: bool,
         vo_ref[:] = v_new
         wo_ref[:] = w_new
 
-        # -- deposit: accumulate raw mode projections of the new positions --
+        # -- deposit: accumulate raw mode projections of the new positions.
+        # Cross-lane scalar reductions per block are slow on the VPU, so the
+        # kernel only folds row-tiles ((rows,128) -> (8,128), pure vector
+        # adds) into a VMEM accumulator; the final (8,128) -> scalar
+        # reduction happens once, outside the kernel. --
         val = (w_new if cfg.deltaf else p) * deposit_scale
         w0d, w1d, trigd = _trig_block(x_new, cfg.lx, cfg.nx, cfg.modes, dtype)
 
         @pl.when(pl.program_id(0) == 0)
         def _():
-            for i in range(nmode):
-                proj_ref[0, i] = jnp.zeros((), dtype)
-                proj_ref[1, i] = jnp.zeros((), dtype)
+            proj_ref[:] = jnp.zeros_like(proj_ref)
 
+        rows = val.shape[0]
         for i, (c0, s0, c1, s1) in enumerate(trigd):
-            proj_ref[0, i] += jnp.sum(val * (w0d * c0 + w1d * c1))
-            proj_ref[1, i] += jnp.sum(val * (w0d * s0 + w1d * s1))
+            part_c = jnp.sum((val * (w0d * c0 + w1d * c1))
+                             .reshape(rows // 8, 8, 128), axis=0)
+            part_s = jnp.sum((val * (w0d * s0 + w1d * s1))
+                             .reshape(rows // 8, 8, 128), axis=0)
+            proj_ref[2 * i] += part_c
+            proj_ref[2 * i + 1] += part_s
 
     pblock = pl.BlockSpec((rows, 128), lambda b: (b, 0),
                           memory_space=pltpu.VMEM)
@@ -208,8 +215,8 @@ def make_substep_call(cfg: Config, s: int, dt_frac: float, with_backups: bool,
         grid=(nblocks,),
         in_specs=[pblock] * n_part_in + [mblock, mblock],
         out_specs=(pblock, pblock, pblock,
-                   pl.BlockSpec((2, nmode), lambda b: (0, 0),
-                                memory_space=pltpu.SMEM)),
+                   pl.BlockSpec((2 * nmode, 8, 128), lambda b: (0, 0, 0),
+                                memory_space=pltpu.VMEM)),
     )
     call = pl.pallas_call(
         kernel,
@@ -220,7 +227,7 @@ def make_substep_call(cfg: Config, s: int, dt_frac: float, with_backups: bool,
             jax.ShapeDtypeStruct((nrows, 128), dtype, vma=vma),
             jax.ShapeDtypeStruct((nrows, 128), dtype, vma=vma),
             jax.ShapeDtypeStruct((nrows, 128), dtype, vma=vma),
-            jax.ShapeDtypeStruct((2, nmode), dtype, vma=vma),
+            jax.ShapeDtypeStruct((2 * nmode, 8, 128), dtype, vma=vma),
         ),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
@@ -235,7 +242,9 @@ def make_substep_call(cfg: Config, s: int, dt_frac: float, with_backups: bool,
         blocked = [a.reshape(nrows, 128) for a in particle]
         mre = mode_re.reshape(1, nmode).astype(dtype)
         mim = mode_im.reshape(1, nmode).astype(dtype)
-        xo, vo, wo, proj = call(*blocked, mre, mim)
+        xo, vo, wo, proj3 = call(*blocked, mre, mim)
+        sums = jnp.sum(proj3, axis=(1, 2))          # (2*nmode,)
+        proj = jnp.stack([sums[0::2], sums[1::2]])  # (2, nmode): cos; sin
         return (xo.reshape(n), vo.reshape(n), wo.reshape(n), proj)
 
     return fn

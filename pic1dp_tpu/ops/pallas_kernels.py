@@ -14,9 +14,11 @@ HBM traffic is exactly the particle state streams:
     substep 2:  read x, v, p, w + the step-start backups x0, v0, w0
                                          write x', v', w'     (10 N floats)
 
-plus (2, nmode) scalars of mode projections accumulated in SMEM across the
-sequential grid.  Dead markers carry p = w = 0 (core/state.py invariant), so
-no live mask is streamed.
+plus a (2*nmode, 8, 128) VMEM tile of mode-projection partials accumulated
+across the sequential grid (tile-wise vector adds in-kernel; the final
+cross-lane reduction to (2, nmode) scalars happens once, outside).  Dead
+markers carry p = w = 0 (core/state.py invariant), so no live mask is
+streamed.
 
 Static configuration (lx, nx, modes, dt, equilibrium, per-species scalars) is
 baked into the kernel closure — one pallas_call per (species, substep), which

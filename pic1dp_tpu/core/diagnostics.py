@@ -122,9 +122,14 @@ def deposit_xv(x, v, vals, lx, v_max, nx: int, nv: int, chunk: int = 16384):
 
 
 def ptcldist(cfg: Config, sp: dist.SpeciesParams, state: SimState,
-             chunk: int | None = None) -> PtclDist:
+             chunk: int | None = None,
+             axis_name: str | None = None) -> PtclDist:
     """Marker/total/perturbed distribution snapshots
-    (reference src/pic1dp_output.F90:196-477)."""
+    (reference src/pic1dp_output.F90:196-477).
+
+    Under shard_map, pass axis_name: the RAW histograms are psum-reduced
+    BEFORE normalization and (full-f) equilibrium subtraction — subtracting
+    f0 per shard and then summing would remove it once per device."""
     chunk = chunk or cfg.deposit_chunk
     nx, nv = cfg.nx_opd, cfg.nv_opd
     delx_inv = nx / cfg.lx
@@ -144,6 +149,9 @@ def ptcldist(cfg: Config, sp: dist.SpeciesParams, state: SimState,
         out_v.append(hv)
     hxv = jnp.stack(out_xv, axis=1)  # (3, ns, nv, nx)
     hv = jnp.stack(out_v, axis=1)    # (3, ns, nv)
+    if axis_name is not None:
+        hxv = jax.lax.psum(hxv, axis_name)
+        hv = jax.lax.psum(hv, axis_name)
 
     markr_xv, total_xv, pertb_xv = hxv[0], hxv[1], hxv[2]
     markr_v, total_v, pertb_v = hv[0], hv[1], hv[2]

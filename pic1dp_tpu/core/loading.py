@@ -49,11 +49,26 @@ def _initial_w(cfg: Config, x, p, v, pertb_shape: PertbShape | None):
     return w
 
 
-def _finish_load(cfg: Config, x, v, p, w) -> SimState:
+def _reference_live_mask(nmax: int, ninit: int, offsets) -> jnp.ndarray:
+    """The reference's unload semantics (src/pic1dp_particle.F90:239-248):
+    each rank drops the LAST (nmax - ninit)/npe slots of its block, with the
+    division remainder dropped on rank 0 additionally."""
+    npe = len(offsets) - 1
+    surplus = nmax - ninit
+    base = surplus // npe
+    mask = np.ones(nmax, dtype=bool)
+    for r in range(npe):
+        unload = base + (surplus % npe if r == 0 else 0)
+        if unload:
+            mask[offsets[r + 1] - unload:offsets[r + 1]] = False
+    return jnp.asarray(mask)
+
+
+def _finish_load(cfg: Config, x, v, p, w, live=None) -> SimState:
     state = SimState.zeros(cfg)
-    live = jnp.stack(
-        [balanced_live_mask(cfg.nparticle_max, n) for n in cfg.nparticle_init]
-    )
+    if live is None:
+        live = jnp.stack([balanced_live_mask(cfg.nparticle_max, n)
+                          for n in cfg.nparticle_init])
     if not cfg.linear:
         # nonlinear: p = f/g = f0/g + delta f/g (reference :259-264)
         p = p + w
@@ -126,7 +141,8 @@ def load_particles_multirand(cfg: Config, emulate_ranks: int = 1,
 
     for r in range(emulate_ranks):
         eng = make_multirand(algorithm=rc.algorithm, seed_type=rc.seed_type,
-                             mype=r, warmup=rc.warmup)
+                             mype=r, warmup=rc.warmup,
+                             selftest=rc.selftest and r == 0)
         lo, hi = offsets[r], offsets[r + 1]
         cnt = hi - lo
         for s in range(ns):
@@ -147,7 +163,11 @@ def load_particles_multirand(cfg: Config, emulate_ranks: int = 1,
     else:
         p = dist.loader_weight_uniform(cfg.equilibrium, sp, vj, cfg.lx, cfg.v_max, npinit)
     w = _initial_w(cfg, xj, p, vj, pertb_shape)
-    return _finish_load(cfg, xj, vj, p, w)
+    # reference unload semantics so the LIVE marker set (not just the drawn
+    # values) matches a Fortran run on emulate_ranks ranks
+    live = jnp.stack([_reference_live_mask(n, ni, offsets)
+                      for ni in cfg.nparticle_init])
+    return _finish_load(cfg, xj, vj, p, w, live=live)
 
 
 def load_particles(cfg: Config, key: jax.Array | None = None,

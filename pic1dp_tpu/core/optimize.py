@@ -126,16 +126,22 @@ def remove_particles(cfg: Config, state: SimState, key: jax.Array,
     def per_species(v, p, w, live, prof, dice_s):
         df = _df_at_particles(prof, v, cfg.v_max, cfg.nv)
         mx = jnp.max(prof)
-        df_norm = df / mx
+        # identically-zero |delta f| profile (e.g. zero seed amplitude):
+        # importance sampling is undefined — make remove a no-op instead of
+        # the 0/0 NaN cascade
+        df_norm = df / jnp.where(mx > 0.0, mx, 1.0)
         if opt.typeremove == 1:
             elig = live & (df < mx * thsh)
             removed = elig & (dice_s < opt.remove_frac)
             keep_scale = jnp.where(elig & ~removed,
                                    1.0 / (1.0 - opt.remove_frac), 1.0)
         else:
-            elig = live
+            elig = live & (mx > 0.0)
             removed = elig & (dice_s > df_norm)
-            keep_scale = jnp.where(elig & ~removed, 1.0 / df_norm, 1.0)
+            keep = elig & ~removed
+            keep_scale = jnp.where(keep,
+                                   1.0 / jnp.where(keep & (df_norm > 0.0),
+                                                   df_norm, 1.0), 1.0)
         p = p * keep_scale
         w = w * keep_scale
         return p, w, live & ~removed

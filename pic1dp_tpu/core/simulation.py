@@ -239,19 +239,43 @@ class Simulation:
     # ---- checkpoint / resume (no reference equivalent: the reference
     # restarts from t = 0 on any failure, SURVEY.md section 5) ----
 
-    def save_checkpoint(self, path: str | None = None) -> str:
+    _CK_FIELDS = ("x", "v", "p", "w", "live", "rho", "electric",
+                  "mode_re", "mode_im")
+
+    def save_checkpoint(self, path: str | None = None,
+                        force_sharded: bool = False) -> str:
         """Write full restart state (particle arrays, field, time counters,
         RNG key, optimization-schedule cursors) as an .npz; atomic rename so
-        a crash mid-write never corrupts the previous checkpoint."""
+        a crash mid-write never corrupts the previous checkpoint.
+
+        Multi-host: arrays spanning non-addressable devices cannot be
+        gathered to one host (and would not fit anyway), so each process
+        writes `<path>.procK.npz` holding its addressable shards keyed by
+        their global particle-axis offsets; restore rebuilds the sharded
+        arrays per process (same mesh/process layout required)."""
         import os
         import tempfile
 
         assert self.state is not None, "nothing to checkpoint"
         if path is None:
             path = os.path.join(self.checkpoint_path, "checkpoint.npz")
-        arrays = {f: np.asarray(getattr(self.state, f))
-                  for f in ("x", "v", "p", "w", "live", "rho", "electric",
-                            "mode_re", "mode_im")}
+        fully_local = not force_sharded and all(
+            getattr(getattr(self.state, f), "is_fully_addressable", True)
+            for f in self._CK_FIELDS)
+        if fully_local:
+            arrays = {f: np.asarray(getattr(self.state, f))
+                      for f in self._CK_FIELDS}
+        else:
+            path = f"{path}.proc{jax.process_index()}.npz"
+            arrays = {}
+            for f in self._CK_FIELDS:
+                arr = getattr(self.state, f)
+                if arr.ndim == 2:  # particle arrays: shard per offset
+                    for sh in arr.addressable_shards:
+                        start = sh.index[1].start or 0
+                        arrays[f"{f}@{start}"] = np.asarray(sh.data)
+                else:              # replicated field arrays
+                    arrays[f] = np.asarray(arr.addressable_shards[0].data)
         fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path) or ".",
                                    suffix=".npz.tmp")
         with os.fdopen(fd, "wb") as fh:
@@ -270,20 +294,37 @@ class Simulation:
 
     def restore_checkpoint(self, path: str) -> None:
         """Resume from save_checkpoint output (config must match; a
-        mismatch raises so silent divergence is impossible)."""
+        mismatch raises so silent divergence is impossible).  Per-process
+        shard files (multi-host saves) are detected by their key layout and
+        rebuilt onto this Simulation's mesh."""
+        import os
+
+        if not os.path.exists(path) and self.mesh is not None:
+            proc = f"{path}.proc{jax.process_index()}.npz"
+            if os.path.exists(proc):
+                path = proc
         with np.load(path) as ck:
             saved_cfg = bytes(ck["config_json"]).decode()
             if saved_cfg != self.cfg.to_json():
                 raise ValueError(
                     f"checkpoint {path} was written with a different config")
-            self.state = SimState(
-                x=jnp.asarray(ck["x"]), v=jnp.asarray(ck["v"]),
-                p=jnp.asarray(ck["p"]), w=jnp.asarray(ck["w"]),
-                live=jnp.asarray(ck["live"]), rho=jnp.asarray(ck["rho"]),
-                electric=jnp.asarray(ck["electric"]),
-                mode_re=jnp.asarray(ck["mode_re"]),
-                mode_im=jnp.asarray(ck["mode_im"]),
-            )
+            sharded_keys = any("@" in k for k in ck.files)
+            if sharded_keys:
+                self.state = self._rebuild_sharded_state(ck)
+            else:
+                state = SimState(
+                    x=jnp.asarray(ck["x"]), v=jnp.asarray(ck["v"]),
+                    p=jnp.asarray(ck["p"]), w=jnp.asarray(ck["w"]),
+                    live=jnp.asarray(ck["live"]), rho=jnp.asarray(ck["rho"]),
+                    electric=jnp.asarray(ck["electric"]),
+                    mode_re=jnp.asarray(ck["mode_re"]),
+                    mode_im=jnp.asarray(ck["mode_im"]),
+                )
+                if self.mesh is not None:
+                    from pic1dp_tpu.parallel import mesh as pmesh
+
+                    state = pmesh.shard_state(state, self.mesh)
+                self.state = state
             self.itime = int(ck["itime"])
             self.time = float(ck["time"])
             self._imerge = int(ck["imerge"])
@@ -291,6 +332,39 @@ class Simulation:
             self._isplit = int(ck["isplit"])
             self.key = jnp.asarray(ck["key"])
         self._last_checkpoint_time = self.time
+
+    def _rebuild_sharded_state(self, ck) -> SimState:
+        """Reassemble sharded particle arrays from a per-process checkpoint
+        via make_array_from_callback (only locally-saved slices are read, so
+        this works when the global array spans non-addressable devices)."""
+        from jax.sharding import NamedSharding
+
+        from pic1dp_tpu.parallel import mesh as pmesh
+
+        if self.mesh is None:
+            raise ValueError(
+                "per-process (sharded) checkpoint requires Simulation(mesh=...) "
+                "with the same mesh layout it was saved under")
+        specs = pmesh.state_specs()
+        ns, n = self.cfg.nspecies, self.cfg.nparticle_max
+        shapes = SimState(
+            x=(ns, n), v=(ns, n), p=(ns, n), w=(ns, n), live=(ns, n),
+            rho=(self.cfg.nx,), electric=(self.cfg.nx,),
+            mode_re=(self.cfg.nmode,), mode_im=(self.cfg.nmode,))
+        fields = {}
+        for f in self._CK_FIELDS:
+            spec = getattr(specs, f)
+            sharding = NamedSharding(self.mesh, spec)
+            shape = getattr(shapes, f)
+            if len(shape) == 2:
+                def cb(index, f=f):
+                    start = index[1].start or 0
+                    return ck[f"{f}@{start}"]
+            else:
+                def cb(index, f=f):
+                    return ck[f][index]
+            fields[f] = jax.make_array_from_callback(shape, sharding, cb)
+        return SimState(**fields)
 
     def _maybe_checkpoint(self) -> None:
         if (self.checkpoint_interval is not None

@@ -129,26 +129,10 @@ class Stepper:
         return rho
 
     def _push(self, x, v, p, w, x_bak, v_bak, w_bak, electric, dt_eff):
-        """One RK substep particle push (see module docstring for ordering)."""
-        cfg = self.cfg
-        sp = self.sp
-        q_over_m = sp.charge / sp.mass
+        """One RK substep particle push: grid-path gather composed with the
+        shared update body (_push_math holds the load-bearing ordering)."""
         e_p = self._gather(x, electric)
-
-        x_new = wrap_x(x_bak + dt_eff * v, cfg.lx)
-
-        if cfg.deltaf:
-            drive = (p * e_p) if cfg.linear else ((p - w) * e_p)
-            kern = dist.minus_dlnf0_dv(cfg.equilibrium, sp, v)
-            w_new = w_bak + dt_eff * drive * kern * q_over_m
-        else:
-            w_new = w
-
-        if cfg.linear:
-            v_new = v
-        else:
-            v_new = v_bak + dt_eff * e_p * q_over_m
-        return x_new, v_new, w_new
+        return self._push_math(e_p, x, v, p, w, x_bak, v_bak, w_bak, dt_eff)
 
     def solve_field(self, rho):
         return self.spectral.solve(rho)
@@ -239,7 +223,11 @@ class Stepper:
     def _step(self, state: SimState) -> SimState:
         """One full RK2 step (two substeps), no particle optimization."""
         if self.cfg.shape == ParticleShape.MATRIX_FREE:
-            if self.deposit_method == DepositMethod.PALLAS:
+            # The fused kernel needs the PER-TRACE particle length (the
+            # per-device shard under shard_map) 1024-aligned; fall back to
+            # the XLA spectral path otherwise instead of crashing.
+            if (self.deposit_method == DepositMethod.PALLAS
+                    and state.x.shape[-1] % 1024 == 0):
                 return self._step_spectral_pallas(state)
             return self._step_spectral(state)
         return self._step_grid(state)

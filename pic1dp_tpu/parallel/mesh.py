@@ -112,8 +112,9 @@ class ShardedStepper:
                                            pertb=P())))
 
         def _ptcldist(state):
-            d = diagnostics.ptcldist(cfg, self.sp, state)
-            return jax.tree_util.tree_map(lambda a: jax.lax.psum(a, AXIS), d)
+            # the psum must happen on the raw histograms inside ptcldist,
+            # before normalization / full-f equilibrium subtraction
+            return diagnostics.ptcldist(cfg, self.sp, state, axis_name=AXIS)
 
         dist_out = diagnostics.PtclDist(*([P()] * 6))
         self.ptcldist = jax.jit(shard_map(

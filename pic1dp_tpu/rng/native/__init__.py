@@ -96,11 +96,35 @@ class NativeMultiRand:
 
 
 def make_multirand(algorithm: int = 3, seed_type: int = 1,
-                   mype: int | None = None, warmup: int = 5):
-    """Native engine when buildable, pure-Python otherwise."""
-    if available():
-        return NativeMultiRand(algorithm, seed_type, mype, warmup)
+                   mype: int | None = None, warmup: int = 5,
+                   selftest: bool = False):
+    """Native engine when buildable, pure-Python otherwise.
+
+    selftest=True (reference input_multirand_selftest,
+    src/pic1dp_input.F90:228-233) runs the Python oracle's known-answer test
+    AND, when the native engine is used, cross-checks its first draws against
+    the oracle with identical seeding — catching both bad engine constants
+    and a corrupted native build."""
     from pic1dp_tpu.rng.multirand import MultiRand
 
+    if selftest:
+        errors = MultiRand(algorithm=algorithm, seed_type=1,
+                           warmup=0).selftest()
+        if errors:
+            raise AssertionError(
+                "multirand selftest failed: " + "; ".join(errors))
+    if available():
+        eng = NativeMultiRand(algorithm, seed_type, mype, warmup)
+        if selftest and seed_type != 2:  # clock seeds are not reproducible
+            oracle = MultiRand(algorithm=algorithm, seed_type=seed_type,
+                               mype=mype, warmup=warmup)
+            native_probe = NativeMultiRand(algorithm, seed_type, mype, warmup)
+            got = [native_probe.int64() for _ in range(10)]
+            want = [oracle.int64() for _ in range(10)]
+            if got != want and seed_type == 1:
+                raise AssertionError(
+                    f"native multirand diverges from the Python oracle "
+                    f"(algorithm {algorithm}): {got[:3]} != {want[:3]}")
+        return eng
     return MultiRand(algorithm=algorithm, seed_type=seed_type, mype=mype,
                      warmup=warmup)

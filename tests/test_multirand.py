@@ -104,3 +104,34 @@ class TestNativeEngine:
         a = native.NativeMultiRand(3, 1, None, 5)
         b = MultiRand(3, 1, None, 5)
         assert [a.int64() for _ in range(5)] == [b.int64() for _ in range(5)]
+
+
+class TestReferenceUnload:
+    def test_tail_unload_per_rank(self):
+        """Live set must follow the reference's unload: each rank drops the
+        LAST (nmax-ninit)/npe slots of its block, remainder on rank 0
+        (reference src/pic1dp_particle.F90:239-248)."""
+        import dataclasses
+
+        from pic1dp_tpu.config import RngConfig, landau_damping
+        from pic1dp_tpu.core.loading import load_particles
+
+        cfg = landau_damping(nx=32, nparticle=1000, dtype="float64",
+                             verbosity=0)
+        cfg = dataclasses.replace(
+            cfg, rng=RngConfig(backend="multirand"),
+            species=(dataclasses.replace(cfg.species[0], nparticle_init=900),))
+        state = load_particles(cfg, emulate_ranks=4)
+        live = np.asarray(state.live[0])
+        # 4 ranks x 250 slots; surplus 100 -> 25/rank, remainder 0
+        blocks = live.reshape(4, 250)
+        for r in range(4):
+            assert blocks[r, :225].all() and not blocks[r, 225:].any(), r
+        assert live.sum() == 900
+
+    def test_selftest_knob_runs(self):
+        from pic1dp_tpu.rng.native import make_multirand
+
+        eng = make_multirand(algorithm=3, seed_type=1, mype=0, warmup=5,
+                             selftest=True)
+        assert eng.int64() > 0

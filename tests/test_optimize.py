@@ -139,3 +139,16 @@ def test_scheduled_optimization_run():
     assert np.all(np.asarray(sim.state.p)[dead] == 0.0)
     assert np.all(np.asarray(sim.state.w)[dead] == 0.0)
     assert sim._imerge == 1 and sim._iremove == 1 and sim._isplit == 1
+
+
+def test_remove_zero_profile_is_noop():
+    """Identically-zero |delta f| (zero seed amplitude) must not NaN the
+    weights in importance-sampling remove mode."""
+    cfg = landau_damping(nx=32, nparticle=4096, amp=0.0, dtype="float64",
+                         verbosity=0)
+    st = Stepper(cfg)
+    state = st.initial_field(load_particles(cfg, jax.random.PRNGKey(0)))
+    out = optimize.remove_particles(cfg, state, jax.random.PRNGKey(1), 0.0)
+    assert np.all(np.isfinite(np.asarray(out.p)))
+    np.testing.assert_array_equal(np.asarray(out.p), np.asarray(state.p))
+    np.testing.assert_array_equal(np.asarray(out.live), np.asarray(state.live))

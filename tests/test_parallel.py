@@ -131,3 +131,45 @@ class TestShardedPallas:
         np.testing.assert_allclose(np.asarray(b.x), np.asarray(a.x), atol=1e-12)
         np.testing.assert_allclose(np.asarray(b.mode_re), np.asarray(a.mode_re),
                                    rtol=1e-10)
+
+
+def test_sharded_fullf_ptcldist_subtracts_equilibrium_once(devices):
+    """full-f perturbed distributions: the psum must reduce RAW histograms
+    before the analytic-f0 subtraction (once, not once per device)."""
+    import dataclasses
+
+    from pic1dp_tpu.core.loading import load_particles
+
+    cfg = dataclasses.replace(
+        landau_damping(nx=32, nparticle=8192, amp=1e-1, dtype="float64",
+                       verbosity=0, nx_opd=16, nv_opd=16), deltaf=False)
+    single = Stepper(cfg)
+    state = single.initial_field(load_particles(cfg, jax.random.PRNGKey(0)))
+    d1 = diagnostics.ptcldist(cfg, single.sp, state)
+    mesh = pmesh.make_mesh(8)
+    sharded = pmesh.ShardedStepper(cfg, mesh)
+    d8 = sharded.ptcldist(pmesh.shard_state(state, mesh))
+    np.testing.assert_allclose(np.asarray(d8.pertb_v), np.asarray(d1.pertb_v),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(d8.pertb_xv),
+                               np.asarray(d1.pertb_xv), rtol=1e-9, atol=1e-12)
+
+
+def test_pallas_auto_falls_back_on_unaligned_shard(devices):
+    """AUTO must not crash when the per-shard length is not 1024-aligned:
+    6_400_000/8 = 800_000 -> XLA spectral fallback, same physics."""
+    import dataclasses
+
+    from pic1dp_tpu.config import DepositMethod
+    from pic1dp_tpu.core.loading import load_particles
+
+    cfg = landau_damping(nx=32, nparticle=6400, dtype="float64", verbosity=0)
+    # 6400 divisible by 8 (mesh) but 6400/8=800 not 1024-aligned
+    cfg_p = dataclasses.replace(cfg, deposit_method=DepositMethod.PALLAS)
+    mesh = pmesh.make_mesh(8)
+    sharded = pmesh.ShardedStepper(cfg_p, mesh)
+    single = Stepper(cfg)
+    state = single.initial_field(load_particles(cfg, jax.random.PRNGKey(0)))
+    a = single.step(state)
+    b = sharded.step(pmesh.shard_state(state, mesh))
+    np.testing.assert_allclose(np.asarray(b.x), np.asarray(a.x), atol=1e-12)

@@ -237,3 +237,22 @@ def test_divergence_detection():
     cfg = dataclasses.replace(cfg, dt=5.0)
     with pytest.raises(FloatingPointError, match="diverged"):
         Simulation(cfg).run()
+
+
+def test_sharded_checkpoint_roundtrip(tmp_path):
+    """Per-process (sharded) checkpoint format round-trips on a mesh."""
+    from pic1dp_tpu.parallel import mesh as pmesh
+
+    cfg = landau_damping(nx=32, nparticle=8192, time_max=1.0,
+                         dtype="float64", verbosity=0)
+    sim = Simulation(cfg, mesh=8)
+    sim.load()
+    sim.step_once()
+    ck = sim.save_checkpoint(str(tmp_path / "ck.npz"), force_sharded=True)
+    assert ck.endswith(".proc0.npz")
+    sim2 = Simulation(cfg, mesh=8)
+    sim2.restore_checkpoint(str(tmp_path / "ck.npz"))
+    for f in ("x", "v", "w", "electric"):
+        np.testing.assert_array_equal(np.asarray(getattr(sim2.state, f)),
+                                      np.asarray(getattr(sim.state, f)))
+    sim2.step_once()  # must be steppable after restore

@@ -136,6 +136,27 @@ class Dispersion:
         return x, v, ms
 
 
+def two_stream1_dispfunc(k: float) -> Callable[[complex], complex]:
+    """D(omega) for the two_stream1 equilibrium f0 = v^2 e^(-v^2/2)/sqrt(2 pi)
+    (reference src/pic1dp_input.F90:51), which is NOT a Maxwellian mixture.
+
+    Uses the moment recurrence J_n = integral v^n M/(v - c) dv with
+    J_0 = Z(c/sqrt(2))/sqrt(2) and J_n = c J_{n-1} + m_{n-1}
+    (m_n the Maxwellian moments 1, 0, 1, 0, ...), giving
+    integral f0'/(v - c) dv = 2 J_1 - J_3 and D = 1 - (2 J_1 - J_3)/k^2.
+    The unstable root is purely growing (Re omega = 0): e.g.
+    omega(k=0.5) = 0.25925i."""
+
+    def dispfunc(omega: complex) -> complex:
+        c = omega / k
+        j0 = plasma_z(c / math.sqrt(2.0)) / math.sqrt(2.0)
+        j1 = c * j0 + 1.0
+        j3 = c * (c * j1) + 1.0
+        return 1.0 - (2.0 * j1 - j3) / k**2
+
+    return dispfunc
+
+
 def species_for_config(cfg) -> list[Species]:
     """Maxwellian-equivalent species list for a Config, for comparing
     simulated growth rates against kinetic theory.  bump-on-tail and

@@ -137,3 +137,29 @@ def test_two_maxwellian_species_match_two_stream_equilibrium():
     t, e = _run(cfg)
     gamma = _gamma_fit(t, e, 10.0, 25.0)
     assert gamma == pytest.approx(0.28451, rel=0.09)
+
+
+def test_two_stream1_growth_rate():
+    """The two_stream1 equilibrium (v^2 Maxwellian, reference iptcldist=1)
+    against its Z-function dispersion relation.  Note: like the reference's
+    own -f0'/f0 = v - 2/v (src/pic1dp_interaction.F90:276), the weight push
+    is singular at v=0, so the scheme is only valid pre-saturation; the
+    divergence guard catches the post-saturation blow-up."""
+    from pic1dp_tpu.analysis.dispersion import muller, two_stream1_dispfunc
+    from pic1dp_tpu.config import Config, Equilibrium, SpeciesConfig
+
+    k = 0.5
+    omega = muller(two_stream1_dispfunc(k), 0.05 + 0.2j, 0.1 + 0.3j,
+                   0.02 + 0.25j)
+    assert omega.imag == pytest.approx(0.25925, abs=1e-4)
+    cfg = Config(
+        linear=False, lx=2.0 * np.pi / k,
+        equilibrium=Equilibrium.TWO_STREAM1,
+        species=(SpeciesConfig(charge=-1.0, mass=1.0, temperature=1.0,
+                               density=1.0, v0=0.0),),
+        nx=64, nparticle_max=100_000, time_max=22.0, v_max=8.0,
+        dtype="float64", verbosity=0, output_interval=0.5,
+    ).validate()
+    t, e = _run(cfg)
+    gamma = _gamma_fit(t, e, 8.0, 20.0)
+    assert gamma == pytest.approx(omega.imag, rel=0.08)

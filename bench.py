@@ -73,6 +73,10 @@ def main() -> None:
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
+    from pic1dp_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from pic1dp_tpu.config import bump_on_tail_default
     from pic1dp_tpu.core.loading import load_particles
     from pic1dp_tpu.core.step import Stepper

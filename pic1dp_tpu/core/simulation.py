@@ -38,6 +38,9 @@ class Simulation:
         """`mesh`: None for single-device; a jax.sharding.Mesh (or a device
         count for a 1-D mesh) runs the whole step pipeline under shard_map
         with the particle axis sharded (parallel/mesh.py)."""
+        from pic1dp_tpu.utils.compile_cache import enable_compilation_cache
+
+        enable_compilation_cache()  # no-op if the user already configured one
         self.cfg = cfg.validate()
         self.checkpoint_interval = checkpoint_interval
         self.checkpoint_path = checkpoint_path or "."

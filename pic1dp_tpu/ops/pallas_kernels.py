@@ -8,13 +8,19 @@ substep — kept-mode E gather at the current positions, the reference's push
 ordering (x, then w with the analytic -f0'/f0, then v; reference
 src/pic1dp_interaction.F90:238-339), and the mode-projection deposit at the
 new positions — in one pass with every intermediate living in VMEM/registers.
-HBM traffic is exactly the particle state streams:
 
-    substep 1:  read x, v, p, w          write x', v', w'     (7 N floats)
-    substep 2:  read x, v, p, w + the step-start backups x0, v0, w0
-                                         write x', v', w'     (10 N floats)
+HBM traffic is exactly the particle state streams, and the RK2 midpoint
+positions never touch HBM at all: substep 1 only writes the midpoint
+(v1, w1); substep 2 recomputes x1 = wrap(x0 + dt/2 v0) in-register (bitwise
+identical — same expression, same dtype) and writes the final (x2, v2, w2).
+For the nonlinear delta-f case that is
 
-plus a (2*nmode, 8, 128) VMEM tile of mode-projection partials accumulated
+    substep 1:  read x0, v0, p, w0            write v1, w1       (6 N floats)
+    substep 2:  read x0, v0, p, w0, v1, w1    write x2, v2, w2   (9 N floats)
+
+15 N floats per full step (vs 17 N for the naive scheme that materializes
+x1); linear mode drops the v stream and full-f drops the w stream.  A
+(2*nmode, 8, 128) VMEM tile of mode-projection partials is accumulated
 across the sequential grid (tile-wise vector adds in-kernel; the final
 cross-lane reduction to (2, nmode) scalars happens once, outside).  Dead
 markers carry p = w = 0 (core/state.py invariant), so no live mask is
@@ -26,8 +32,10 @@ keeps the physics functions in distributions.py shared verbatim with the XLA
 paths.
 
 Particle blocks are (R, 128) tiles of the per-species (N/128, 128)-reshaped
-arrays; R is the largest divisor of N/128 up to `max_rows`.  Capacity N must
-be a multiple of 128 (pad nparticle_max; nparticle_init is unaffected).
+arrays; R is the largest divisor of N/128 up to `max_rows` (256 measured
+best on v5e for the full substep; 512 wins on stream-only microkernels but
+loses ~7% here).  Capacity N must be a multiple of 128 (pad nparticle_max;
+nparticle_init is unaffected).
 """
 
 from __future__ import annotations
@@ -77,10 +85,22 @@ def _fast_wrap(x, lx: float):
     return jnp.where(y >= lx, y - lx, jnp.where(y < 0.0, y + lx, y))
 
 
+# exp-argument clamp for the ratio forms below: exp(60) ~ 1.1e26 stays finite
+# in f32 and the clamped branch only engages where one Gaussian component is
+# < e-60 of the other (its contribution is below f32 resolution anyway).
+_EXP_CLAMP = 60.0
+
+
 def _minus_dlnf0_dv_fast(eq, sp, v):
     """distributions.minus_dlnf0_dv with static python-float species
-    parameters algebraically folded so at most ONE division survives
-    (the weighted-mean ratio); bitwise-equal where no division is saved."""
+    parameters algebraically folded and the two-Gaussian equilibria rewritten
+    in single-exponential ratio form:
+
+        (a e^A + b e^B) / (e^A + e^B)  =  (a + b r) / (1 + r),  r = e^(B-A)
+
+    — one transcendental per particle instead of two (transcendentals, not
+    HBM, bound the fused kernel).  Mathematically identical to the shared
+    distributions.py forms; bitwise-equal for MAXWELLIAN and TWO_STREAM1."""
     from pic1dp_tpu.config import Equilibrium
 
     vth2 = sp.temperature / sp.mass
@@ -90,55 +110,116 @@ def _minus_dlnf0_dv_fast(eq, sp, v):
     if eq == Equilibrium.TWO_STREAM1:
         return v - 2.0 / v
     if eq == Equilibrium.TWO_STREAM2:
-        ep = jnp.exp(-(v + sp.v0) ** 2 * (0.5 * inv_vth2))
-        em = jnp.exp(-(v - sp.v0) ** 2 * (0.5 * inv_vth2))
-        return ((v + sp.v0) * ep + (v - sp.v0) * em) * inv_vth2 / (ep + em)
+        # r = em/ep = exp(((v+v0)^2 - (v-v0)^2)/(2 vth2)) = exp(2 v v0/vth2)
+        r = jnp.exp(jnp.clip(v * (2.0 * sp.v0 * inv_vth2),
+                             -_EXP_CLAMP, _EXP_CLAMP))
+        return ((v + sp.v0) + (v - sp.v0) * r) * inv_vth2 / (1.0 + r)
     if eq == Equilibrium.BUMP_ON_TAIL:
         vth2b = sp.temperature2 / sp.mass
         inv_vth2b = 1.0 / vth2b
         c_core = sp.density / math.sqrt(vth2)
         c_beam = (1.0 - sp.density) / math.sqrt(vth2b)
-        core = c_core * jnp.exp(-v * v * (0.5 * inv_vth2))
-        beam = c_beam * jnp.exp(-(v - sp.v0) ** 2 * (0.5 * inv_vth2b))
-        return (core * v * inv_vth2 + beam * (v - sp.v0) * inv_vth2b) \
-            / (core + beam)
+        # r = beam/core = (c_beam/c_core) exp(v^2/(2 vth2) - (v-v0)^2/(2 vth2b))
+        log_ratio = math.log(c_beam) - math.log(c_core)
+        arg = (v * v * (0.5 * inv_vth2)
+               - (v - sp.v0) ** 2 * (0.5 * inv_vth2b) + log_ratio)
+        r = jnp.exp(jnp.clip(arg, -_EXP_CLAMP, _EXP_CLAMP))
+        return (v * inv_vth2 + r * ((v - sp.v0) * inv_vth2b)) / (1.0 + r)
     raise ValueError(f"unknown equilibrium {eq}")
+
+
+# Degree-5 (in f^2) quadrant polynomials for cos/sin(pi/2 f), f in [0, 1):
+# near-minimax Chebyshev fits, max abs error 6.8e-10 / 8.3e-11 — below one
+# f32 ulp, so on the f32 hot path they are as accurate as jnp.cos/sin while
+# costing ~20 pipelined VPU mul-adds for BOTH values.  Mosaic lowers
+# jnp.cos/sin to a generic range-reduced polynomial that measures ~15-25x
+# more expensive per pair and dominates the whole substep (measured: one
+# cos+sin pair ~2-3 ms per 2^26 markers on v5e; the entire 7-stream substep
+# without trig is ~4.5 ms).  Our angles are 2*pi*(m*ix0/nx mod 1) with ix0
+# integer, so the quadrant reduction here is exact arithmetic, not the
+# general Payne-Hanek problem.
+_COS_COEF = (0.9999999998457041, -1.233700538086706, 0.25366935703321725,
+             -0.02086279512890428, 0.0009178587297690476,
+             -2.3883072106543594e-05)
+_SIN_COEF = (1.5707963267761484, -0.6459640960423054, 0.07969260792044065,
+             -0.004681670879540178, 0.00016027109114375508,
+             -3.4389484786593153e-06)
+
+
+def _sincos_turns(t):
+    """(cos, sin) of 2*pi*t for t in [0, 1)."""
+    z = 4.0 * t
+    q = jnp.floor(z)
+    f = z - q
+    y = f * f
+    c = _COS_COEF[5]
+    for k in (4, 3, 2, 1, 0):
+        c = c * y + _COS_COEF[k]
+    s = _SIN_COEF[5]
+    for k in (4, 3, 2, 1, 0):
+        s = s * y + _SIN_COEF[k]
+    s = s * f
+    odd = (q - 2.0 * jnp.floor(0.5 * q)) == 1.0   # q in {1, 3}
+    one = jnp.ones((), t.dtype)
+    base_c = jnp.where(odd, s, c)
+    base_s = jnp.where(odd, c, s)
+    sign_c = jnp.where((q == 1.0) | (q == 2.0), -one, one)
+    sign_s = jnp.where(q >= 2.0, -one, one)
+    return (sign_c * base_c).astype(t.dtype), (sign_s * base_s).astype(t.dtype)
 
 
 def _trig_block(x, lx, nx: int, modes, dtype):
     """mode_trig specialized for in-kernel blocks (same math as
-    ops/spectral.mode_trig)."""
+    ops/spectral.mode_trig).  f32 uses the quadrant polynomials above; f64
+    (CPU interpret mode, equivalence tests) keeps exact jnp.cos/sin so the
+    1e-12 pins against the XLA spectral path hold bitwise-tight."""
     s = x * (nx / lx)
     ix0 = jnp.floor(s)
     frac = s - ix0
     ix0 = jnp.clip(ix0, 0.0, float(nx - 1))
     w0, w1 = 1.0 - frac, frac
+    fast = dtype == jnp.float32
     out = []
     for m in modes:
         step = 2.0 * np.pi * m / nx
-        theta0 = ix0 * jnp.asarray(step, dtype)
-        c0 = jnp.cos(theta0)
-        s0 = jnp.sin(theta0)
-        c1 = c0 * np.cos(step) - s0 * np.sin(step)
-        s1 = s0 * np.cos(step) + c0 * np.sin(step)
+        if fast:
+            tm = ix0 * np.float32(m / nx)     # m*ix0 exact below 2^24
+            t = tm - jnp.floor(tm)            # mod 1: exact
+            c0, s0 = _sincos_turns(t)
+        else:
+            theta0 = ix0 * jnp.asarray(step, dtype)
+            c0 = jnp.cos(theta0)
+            s0 = jnp.sin(theta0)
+        cd = np.asarray(np.cos(step), dtype)  # typed: np.float64 scalars
+        sd = np.asarray(np.sin(step), dtype)  # would promote f32 under x64
+        c1 = c0 * cd - s0 * sd
+        s1 = s0 * cd + c0 * sd
         out.append((c0, s0, c1, s1))
     return w0, w1, out
 
 
-def make_substep_call(cfg: Config, s: int, dt_frac: float, with_backups: bool,
-                      n: int, *, max_rows: int = 256, interpret: bool = False,
+def make_substep_call(cfg: Config, s: int, substep: int, n: int, *,
+                      max_rows: int = 256, interpret: bool = False,
                       axis_name: str | None = None):
-    """Build the fused substep for species `s`.
+    """Build the fused substep kernel for species `s`.
 
-    Returns fn(x, v, p, w[, x0, v0, w0], mode_re, mode_im)
-         -> (x', v', w', proj) with proj (2, nmode) raw mode projections
-    of the species' charge-weighted deposit (spectral.project_modes
-    semantics).  All particle arrays are (n,) flat for this species.
+    substep 1:  fn(x0, v0, p, w0, mode_re, mode_im)
+                  -> ([v1,] [w1,] proj)         midpoint state (dt/2 push)
+    substep 2:  fn(x0, v0, p, w0, [v1,] [w1,] mode_re, mode_im)
+                  -> (x2, [v2,] [w2,] proj)     full-dt push from the backups
+
+    v streams exist only when not cfg.linear; w streams only when cfg.deltaf
+    (reference semantics: linear freezes v, full-f never updates w).  proj is
+    the (2, nmode) raw mode projections of the species' charge-weighted
+    deposit at the new positions (spectral.project_modes semantics).  All
+    particle arrays are (n,) flat for this species.
     """
     if n % 1024:
         raise ValueError(
             f"pallas hot path needs nparticle_max % 1024 == 0, got {n} "
             "(round the capacity up; nparticle_init may stay as is)")
+    if substep not in (1, 2):
+        raise ValueError(f"substep must be 1 or 2, got {substep}")
     nrows = n // 128
     rows = _largest_divisor(nrows, max_rows)
     nblocks = nrows // rows
@@ -146,46 +227,68 @@ def make_substep_call(cfg: Config, s: int, dt_frac: float, with_backups: bool,
     nmode = len(cfg.modes)
     sp = _ScalarSpecies(cfg, s)
     vma = frozenset() if axis_name is None else frozenset({axis_name})
-    dt_eff = dt_frac * cfg.dt
+    dt_half = 0.5 * cfg.dt
+    dt_eff = dt_half if substep == 1 else cfg.dt
     q_over_m = sp.charge / sp.mass
     deposit_scale = sp.charge  # val = charge * (w' | p)
+    has_v = not cfg.linear     # v stream updated
+    has_w = cfg.deltaf         # w stream updated
+    n_mid = (1 if has_v else 0) + (1 if has_w else 0)
+    n_in = 4 if substep == 1 else 4 + n_mid
+    n_out = n_mid if substep == 1 else 1 + n_mid
 
     def kernel(*refs):
-        if with_backups:
-            (x_ref, v_ref, p_ref, w_ref, xb_ref, vb_ref, wb_ref,
-             mre_ref, mim_ref, xo_ref, vo_ref, wo_ref, proj_ref) = refs
-        else:
-            (x_ref, v_ref, p_ref, w_ref, mre_ref, mim_ref,
-             xo_ref, vo_ref, wo_ref, proj_ref) = refs
-            xb_ref, vb_ref, wb_ref = x_ref, v_ref, w_ref
+        in_refs, out_refs = refs[:n_in + 2], refs[n_in + 2:]
+        x_ref, v_ref, p_ref, w_ref, *rest = in_refs
+        mre_ref, mim_ref = rest[-2], rest[-1]
+        mid = list(rest[:-2])
+        v1_ref = mid.pop(0) if (substep == 2 and has_v) else None
+        w1_ref = mid.pop(0) if (substep == 2 and has_w) else None
+        proj_ref = out_refs[-1]
 
-        x = x_ref[:]
-        v = v_ref[:]
+        x0 = x_ref[:]
+        v0 = v_ref[:]
         p = p_ref[:]
-        w = w_ref[:]
+        w0 = w_ref[:]
 
-        # -- gather: kept-mode E at the two hat neighbors of x --
-        w0, w1, trig = _trig_block(x, cfg.lx, cfg.nx, cfg.modes, dtype)
+        if substep == 1:
+            x_at, v_at, w_at = x0, v0, w0  # gather/push inputs = step start
+        else:
+            # midpoint: x1 recomputed (never touched HBM), v1/w1 streamed in
+            x_at = _fast_wrap(x0 + dt_half * v0, cfg.lx)
+            v_at = v1_ref[:] if has_v else v0
+            w_at = w1_ref[:] if has_w else w0
+
+        # -- gather: kept-mode E at the two hat neighbors of x_at --
+        w0h, w1h, trig = _trig_block(x_at, cfg.lx, cfg.nx, cfg.modes, dtype)
         e = None
         for i, (c0, s0, c1, s1) in enumerate(trig):
-            term = (w0 * c0 + w1 * c1) * mre_ref[0, i] \
-                 - (w0 * s0 + w1 * s1) * mim_ref[0, i]
+            term = (w0h * c0 + w1h * c1) * mre_ref[0, i] \
+                 - (w0h * s0 + w1h * s1) * mim_ref[0, i]
             e = term if e is None else e + term
         e_p = 2.0 * e
 
-        # -- push, reference ordering: x, w, v --
-        x_new = _fast_wrap(xb_ref[:] + dt_eff * v, cfg.lx)
-        if cfg.deltaf:
-            drive = (p * e_p) if cfg.linear else ((p - w) * e_p)
-            kern = _minus_dlnf0_dv_fast(cfg.equilibrium, sp, v)
-            w_new = wb_ref[:] + (dt_eff * q_over_m) * drive * kern
+        # -- push, reference ordering: x, w, v; always from the step-start
+        # backups (x0, v0, w0) with midpoint fields/velocities --
+        x_new = _fast_wrap(x0 + dt_eff * v_at, cfg.lx)
+        if has_w:
+            drive = (p * e_p) if cfg.linear else ((p - w_at) * e_p)
+            kern = _minus_dlnf0_dv_fast(cfg.equilibrium, sp, v_at)
+            w_new = w0 + (dt_eff * q_over_m) * drive * kern
         else:
-            w_new = w
-        v_new = v if cfg.linear else vb_ref[:] + (dt_eff * q_over_m) * e_p
+            w_new = w0
+        v_new = v0 + (dt_eff * q_over_m) * e_p if has_v else v0
 
-        xo_ref[:] = x_new
-        vo_ref[:] = v_new
-        wo_ref[:] = w_new
+        out_i = 0
+        if substep == 2:
+            out_refs[out_i][:] = x_new
+            out_i += 1
+        if has_v:
+            out_refs[out_i][:] = v_new
+            out_i += 1
+        if has_w:
+            out_refs[out_i][:] = w_new
+            out_i += 1
 
         # -- deposit: accumulate raw mode projections of the new positions.
         # Cross-lane scalar reductions per block are slow on the VPU, so the
@@ -199,12 +302,12 @@ def make_substep_call(cfg: Config, s: int, dt_frac: float, with_backups: bool,
         def _():
             proj_ref[:] = jnp.zeros_like(proj_ref)
 
-        rows = val.shape[0]
+        r = val.shape[0]
         for i, (c0, s0, c1, s1) in enumerate(trigd):
             part_c = jnp.sum((val * (w0d * c0 + w1d * c1))
-                             .reshape(rows // 8, 8, 128), axis=0)
+                             .reshape(r // 8, 8, 128), axis=0)
             part_s = jnp.sum((val * (w0d * s0 + w1d * s1))
-                             .reshape(rows // 8, 8, 128), axis=0)
+                             .reshape(r // 8, 8, 128), axis=0)
             proj_ref[2 * i] += part_c
             proj_ref[2 * i + 1] += part_s
 
@@ -212,30 +315,27 @@ def make_substep_call(cfg: Config, s: int, dt_frac: float, with_backups: bool,
                           memory_space=pltpu.VMEM)
     mblock = pl.BlockSpec((1, nmode), lambda b: (0, 0),
                           memory_space=pltpu.SMEM)
-    n_part_in = 7 if with_backups else 4
+    pout = jax.ShapeDtypeStruct((nrows, 128), dtype, vma=vma)
     grid_spec = pl.GridSpec(
         grid=(nblocks,),
-        in_specs=[pblock] * n_part_in + [mblock, mblock],
-        out_specs=(pblock, pblock, pblock,
-                   pl.BlockSpec((2 * nmode, 8, 128), lambda b: (0, 0, 0),
-                                memory_space=pltpu.VMEM)),
+        in_specs=[pblock] * n_in + [mblock, mblock],
+        out_specs=tuple([pblock] * (n_out)
+                        + [pl.BlockSpec((2 * nmode, 8, 128), lambda b: (0, 0, 0),
+                                        memory_space=pltpu.VMEM)]),
     )
     call = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         # under shard_map every output varies across the particle mesh axis
         # (the proj partials are psum'd by the caller)
-        out_shape=(
-            jax.ShapeDtypeStruct((nrows, 128), dtype, vma=vma),
-            jax.ShapeDtypeStruct((nrows, 128), dtype, vma=vma),
-            jax.ShapeDtypeStruct((nrows, 128), dtype, vma=vma),
-            jax.ShapeDtypeStruct((2 * nmode, 8, 128), dtype, vma=vma),
-        ),
+        out_shape=tuple([pout] * n_out
+                        + [jax.ShapeDtypeStruct((2 * nmode, 8, 128), dtype,
+                                                vma=vma)]),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=n * (40 + 30 * nmode),
-            bytes_accessed=(n_part_in + 3) * n * dtype.itemsize,
-            transcendentals=n * (4 * nmode + 2),
+            bytes_accessed=(n_in + n_out + 1) * n * dtype.itemsize,
+            transcendentals=n * (4 * nmode + 1),
         ),
     )
 
@@ -244,10 +344,10 @@ def make_substep_call(cfg: Config, s: int, dt_frac: float, with_backups: bool,
         blocked = [a.reshape(nrows, 128) for a in particle]
         mre = mode_re.reshape(1, nmode).astype(dtype)
         mim = mode_im.reshape(1, nmode).astype(dtype)
-        xo, vo, wo, proj3 = call(*blocked, mre, mim)
+        *pouts, proj3 = call(*blocked, mre, mim)
         sums = jnp.sum(proj3, axis=(1, 2))          # (2*nmode,)
         proj = jnp.stack([sums[0::2], sums[1::2]])  # (2, nmode): cos; sin
-        return (xo.reshape(n), vo.reshape(n), wo.reshape(n), proj)
+        return tuple(o.reshape(n) for o in pouts) + (proj,)
 
     return fn
 
@@ -266,38 +366,54 @@ class FusedStepper:
         self.cfg = cfg
         self.interpret = interpret
         self.axis_name = axis_name
+        self.has_v = not cfg.linear
+        self.has_w = cfg.deltaf
         self._subs: dict = {}
 
-    def _sub(self, dt_frac: float, with_backups: bool, s: int, n: int):
-        key = (dt_frac, with_backups, s, n)
+    def _sub(self, substep: int, s: int, n: int):
+        key = (substep, s, n)
         if key not in self._subs:
             self._subs[key] = make_substep_call(
-                self.cfg, s, dt_frac, with_backups, n,
+                self.cfg, s, substep, n,
                 interpret=self.interpret, axis_name=self.axis_name)
         return self._subs[key]
 
     def substep1(self, x, v, p, w, mode_re, mode_im):
-        """(ns, N) arrays -> (x', v', w', (p_c, p_s)) summed over species."""
-        return self._run(0.5, False, (x, v, p, w), mode_re, mode_im)
+        """(ns, N) step-start arrays -> (v1, w1, (p_c, p_s)); proj summed over
+        species.  v1/w1 fall back to the inputs for frozen streams."""
+        return self._run(1, (x, v, p, w), (v, w), mode_re, mode_im)
 
-    def substep2(self, x, v, p, w, x0, v0, w0, mode_re, mode_im):
-        return self._run(1.0, True, (x, v, p, w, x0, v0, w0), mode_re, mode_im)
+    def substep2(self, x, v, p, w, v1, w1, mode_re, mode_im):
+        """Step-start (x, v, p, w) + midpoint (v1, w1)
+        -> (x2, v2, w2, (p_c, p_s))."""
+        mid = ([v1] if self.has_v else []) + ([w1] if self.has_w else [])
+        return self._run(2, (x, v, p, w, *mid), (v, w), mode_re, mode_im)
 
-    def _run(self, dt_frac, with_backups, particle_arrays, mode_re, mode_im):
+    def _run(self, substep, particle_arrays, fallbacks, mode_re, mode_im):
         ns = self.cfg.nspecies
         n = particle_arrays[0].shape[-1]
         if self.axis_name is not None:
             # replicated mode scalars -> varying, so every kernel input
             # carries the same manual-axes set under shard_map
-            mode_re = jax.lax.pvary(mode_re, self.axis_name)
-            mode_im = jax.lax.pvary(mode_im, self.axis_name)
+            mode_re = jax.lax.pcast(mode_re, self.axis_name, to="varying")
+            mode_im = jax.lax.pcast(mode_im, self.axis_name, to="varying")
         outs = []
         for s in range(ns):
             per_species = tuple(a[s] for a in particle_arrays)
-            fn = self._sub(dt_frac, with_backups, s, n)
+            fn = self._sub(substep, s, n)
             outs.append(fn(*per_species, mode_re, mode_im))
-        x = jnp.stack([o[0] for o in outs])
-        v = jnp.stack([o[1] for o in outs])
-        w = jnp.stack([o[2] for o in outs])
-        proj = sum(o[3] for o in outs)
-        return x, v, w, (proj[0], proj[1])
+        proj = sum(o[-1] for o in outs)
+
+        def stack(idx):
+            return jnp.stack([o[idx] for o in outs])
+
+        i = 0
+        if substep == 2:
+            x_out = stack(i)
+            i += 1
+        v_out = stack(i) if self.has_v else fallbacks[0]
+        i += 1 if self.has_v else 0
+        w_out = stack(i) if self.has_w else fallbacks[1]
+        if substep == 1:
+            return v_out, w_out, (proj[0], proj[1])
+        return x_out, v_out, w_out, (proj[0], proj[1])

@@ -71,3 +71,71 @@ def test_multi_step_matches_python_loop():
     np.testing.assert_allclose(np.asarray(a.x), np.asarray(b.x), atol=0)
     np.testing.assert_allclose(np.asarray(a.electric), np.asarray(b.electric),
                                atol=1e-300)
+
+
+def _pallas_cases():
+    """Every fused-kernel stream variant: (has_v, has_w) x equilibria."""
+    from pic1dp_tpu.config import two_stream
+
+    bot = bump_on_tail_default(nx=192, nparticle_max=4096, dtype="float64",
+                               verbosity=0)
+    lan = landau_damping(nx=64, nparticle=4096, dtype="float64", verbosity=0)
+    yield "bot_nonlinear_deltaf", bot                        # v + w streams
+    yield "landau_linear", dataclasses.replace(lan, linear=True)   # w only
+    yield "landau_fullf", dataclasses.replace(
+        landau_damping(nx=64, nparticle=4096, amp=1e-2, dtype="float64",
+                       verbosity=0), deltaf=False)           # v only
+    yield "two_stream2", two_stream(nx=64, nparticle=4096, dtype="float64",
+                                    verbosity=0)
+    yield "multimode", dataclasses.replace(
+        lan, modes=(1, 2, 3), init_modes=(1, 2), init_amp_cos=(1e-5, 0.0),
+        init_amp_sin=(1e-4, 5e-5))
+
+
+@pytest.mark.parametrize("name,cfg", list(_pallas_cases()),
+                         ids=lambda c: c if isinstance(c, str) else "")
+def test_pallas_matches_spectral(name, cfg):
+    """The fused Pallas substeps (interpret mode on CPU) must reproduce the
+    XLA spectral path bitwise-closely for every (linear, deltaf, equilibrium)
+    stream variant — including the in-kernel recomputation of the midpoint
+    positions and the single-exponential -f0'/f0 forms."""
+    from pic1dp_tpu.config import DepositMethod
+
+    cfg_p = dataclasses.replace(cfg, deposit_method=DepositMethod.PALLAS)
+    st_x = Stepper(cfg)
+    st_p = Stepper(cfg_p)
+    assert st_p.deposit_method == DepositMethod.PALLAS
+    state = st_x.initial_field(load_particles(cfg, jax.random.PRNGKey(3)))
+    a, b = state, state
+    for _ in range(3):
+        a = st_x.step(a)
+        b = st_p.step(b)
+    for field in ("x", "v", "w", "mode_re", "mode_im"):
+        va, vb = np.asarray(getattr(a, field)), np.asarray(getattr(b, field))
+        scale = np.max(np.abs(va)) + 1e-300
+        np.testing.assert_allclose(vb / scale, va / scale, atol=1e-12,
+                                   err_msg=f"{name}:{field}")
+
+
+def test_pallas_f32_poly_trig_matches_xla():
+    """The f32 hot path replaces Mosaic's generic sin/cos with exact-quadrant
+    degree-5 polynomials (max err ~2e-7, a few f32 ulp).  Against the XLA f32
+    spectral path the per-step divergence must stay at trig-roundoff level."""
+    from pic1dp_tpu.config import DepositMethod
+
+    cfg = bump_on_tail_default(nx=192, nparticle_max=8192, dtype="float32",
+                               verbosity=0)
+    cfg_p = dataclasses.replace(cfg, deposit_method=DepositMethod.PALLAS)
+    st_x, st_p = Stepper(cfg), Stepper(cfg_p)
+    state = st_x.initial_field(load_particles(cfg, jax.random.PRNGKey(5)))
+    a, b = state, state
+    for _ in range(5):
+        a = st_x.step(a)
+        b = st_p.step(b)
+    np.testing.assert_allclose(np.asarray(b.x), np.asarray(a.x),
+                               rtol=0, atol=5e-5)
+    np.testing.assert_allclose(np.asarray(b.v), np.asarray(a.v),
+                               rtol=0, atol=1e-5)
+    scale = np.max(np.abs(np.asarray(a.w))) + 1e-30
+    np.testing.assert_allclose(np.asarray(b.w) / scale,
+                               np.asarray(a.w) / scale, rtol=0, atol=1e-4)

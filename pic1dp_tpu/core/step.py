@@ -235,8 +235,9 @@ class Stepper:
     def _step_spectral_pallas(self, state: SimState) -> SimState:
         """Matrix-free RK2 step with both substeps as fused Pallas kernels
         (ops/pallas_kernels.py); mode solve between them is scalar work.
-        The midpoint positions x1 never leave VMEM: substep 2 recomputes
-        them from (x0, v0) bitwise-identically (see ops/pallas_kernels.py)."""
+        The midpoint state (x1, v1, w1) never leaves VMEM: substep 2
+        recomputes it bitwise-identically from the step-start state and
+        the step-start mode scalars (see ops/pallas_kernels.py)."""
         from pic1dp_tpu.ops.pallas_kernels import FusedStepper
 
         if self._fused is None:
@@ -245,14 +246,14 @@ class Stepper:
         x0, v0, w0 = state.x, state.v, state.w
         p, live = state.p, state.live
 
-        v1, w1, (pc1, ps1) = self._fused.substep1(
+        w1, (pc1, ps1) = self._fused.substep1(
             x0, v0, p, w0, state.mode_re, state.mode_im)
         pc1, ps1 = self._psum((pc1, ps1))
         mre1, mim1 = spectral_ops.solve_modes_from_projections(
             pc1, ps1, self.spectral.grad_inv, cfg.lx)
 
         x2, v2, w2, (pc2, ps2) = self._fused.substep2(
-            x0, v0, p, w0, v1, w1, mre1, mim1)
+            x0, v0, p, w0, w1, state.mode_re, state.mode_im, mre1, mim1)
         pc2, ps2 = self._psum((pc2, ps2))
         mre2, mim2 = spectral_ops.solve_modes_from_projections(
             pc2, ps2, self.spectral.grad_inv, cfg.lx)

@@ -9,17 +9,23 @@ ordering (x, then w with the analytic -f0'/f0, then v; reference
 src/pic1dp_interaction.F90:238-339), and the mode-projection deposit at the
 new positions — in one pass with every intermediate living in VMEM/registers.
 
-HBM traffic is exactly the particle state streams, and the RK2 midpoint
-positions never touch HBM at all: substep 1 only writes the midpoint
-(v1, w1); substep 2 recomputes x1 = wrap(x0 + dt/2 v0) in-register (bitwise
-identical — same expression, same dtype) and writes the final (x2, v2, w2).
-For the nonlinear delta-f case that is
+HBM traffic is exactly the particle state streams, balanced against the
+VPU so each substep stays DMA-bound with its compute fully hidden.  The
+midpoint positions and velocities never touch HBM: substep 2 recomputes
+x1 = wrap(x0 + dt/2 v0) and v1 = v0 + dt/2 (q/m) E0(x0) in-register
+(bitwise identical — same expressions, same dtype, shared code, E0 from
+the step-start mode scalars).  Only the midpoint WEIGHTS w1 are streamed:
+recomputing them too would add a -f0'/f0 evaluation + full drive chain to
+substep 2 and tip it from DMA-bound to compute-bound (measured: the
+recompute-everything 11N-float variant runs ~5% SLOWER than this 13N one
+at 2^26 markers, and the stream-everything 15N/17N variants ~4%/~12%
+slower).  For the nonlinear delta-f case:
 
-    substep 1:  read x0, v0, p, w0            write v1, w1       (6 N floats)
-    substep 2:  read x0, v0, p, w0, v1, w1    write x2, v2, w2   (9 N floats)
+    substep 1:  read x0, v0, p, w0        write w1           (5 N floats)
+    substep 2:  read x0, v0, p, w0, w1    write x2, v2, w2   (8 N floats)
 
-15 N floats per full step (vs 17 N for the naive scheme that materializes
-x1); linear mode drops the v stream and full-f drops the w stream.  A
+Linear mode freezes v (no v stream, no v1 recompute, no step-start gather
+in substep 2); full-f never updates w (no w streams at all).  The
 (2*nmode, 8, 128) VMEM tile of mode-projection partials is accumulated
 across the sequential grid (tile-wise vector adds in-kernel; the final
 cross-lane reduction to (2, nmode) scalars happens once, outside).  Dead
@@ -203,16 +209,20 @@ def make_substep_call(cfg: Config, s: int, substep: int, n: int, *,
                       axis_name: str | None = None):
     """Build the fused substep kernel for species `s`.
 
-    substep 1:  fn(x0, v0, p, w0, mode_re, mode_im)
-                  -> ([v1,] [w1,] proj)         midpoint state (dt/2 push)
-    substep 2:  fn(x0, v0, p, w0, [v1,] [w1,] mode_re, mode_im)
-                  -> (x2, [v2,] [w2,] proj)     full-dt push from the backups
+    substep 1:  fn(x0, v0, p, w0, mode_re0, mode_im0)
+                  -> ([w1,] proj1)             projections of the dt/2 push
+    substep 2:  fn(x0, v0, p, w0, [w1,] *mode_scalars)
+                  -> (x2, [v2,] [w2,] proj2)   full-dt push from the backups
 
-    v streams exist only when not cfg.linear; w streams only when cfg.deltaf
-    (reference semantics: linear freezes v, full-f never updates w).  proj is
-    the (2, nmode) raw mode projections of the species' charge-weighted
-    deposit at the new positions (spectral.project_modes semantics).  All
-    particle arrays are (n,) flat for this species.
+    substep 2's mode_scalars are (mode_re0, mode_im0, mode_re1, mode_im1)
+    when v is live (it re-derives x1 and v1 in-register from the step-start
+    field, bitwise identical to substep 1 — same shared code) and just
+    (mode_re1, mode_im1) in linear mode (v frozen, no step-start gather
+    needed).  w streams exist only when cfg.deltaf; the v stream only when
+    not cfg.linear (reference semantics: linear freezes v, full-f never
+    updates w).  proj is the (2, nmode) raw mode projections of the species'
+    charge-weighted deposit at the pushed positions (spectral.project_modes
+    semantics).  All particle arrays are (n,) flat for this species.
     """
     if n % 1024:
         raise ValueError(
@@ -228,48 +238,29 @@ def make_substep_call(cfg: Config, s: int, substep: int, n: int, *,
     sp = _ScalarSpecies(cfg, s)
     vma = frozenset() if axis_name is None else frozenset({axis_name})
     dt_half = 0.5 * cfg.dt
-    dt_eff = dt_half if substep == 1 else cfg.dt
     q_over_m = sp.charge / sp.mass
     deposit_scale = sp.charge  # val = charge * (w' | p)
     has_v = not cfg.linear     # v stream updated
     has_w = cfg.deltaf         # w stream updated
-    n_mid = (1 if has_v else 0) + (1 if has_w else 0)
-    n_in = 4 if substep == 1 else 4 + n_mid
-    n_out = n_mid if substep == 1 else 1 + n_mid
+    n_scal = 2 if substep == 1 else (4 if has_v else 2)
+    n_pin = 4 if substep == 1 else 4 + (1 if has_w else 0)
+    n_out = ((1 if has_w else 0) if substep == 1
+             else 1 + (1 if has_v else 0) + (1 if has_w else 0))
 
-    def kernel(*refs):
-        in_refs, out_refs = refs[:n_in + 2], refs[n_in + 2:]
-        x_ref, v_ref, p_ref, w_ref, *rest = in_refs
-        mre_ref, mim_ref = rest[-2], rest[-1]
-        mid = list(rest[:-2])
-        v1_ref = mid.pop(0) if (substep == 2 and has_v) else None
-        w1_ref = mid.pop(0) if (substep == 2 and has_w) else None
-        proj_ref = out_refs[-1]
-
-        x0 = x_ref[:]
-        v0 = v_ref[:]
-        p = p_ref[:]
-        w0 = w_ref[:]
-
-        if substep == 1:
-            x_at, v_at, w_at = x0, v0, w0  # gather/push inputs = step start
-        else:
-            # midpoint: x1 recomputed (never touched HBM), v1/w1 streamed in
-            x_at = _fast_wrap(x0 + dt_half * v0, cfg.lx)
-            v_at = v1_ref[:] if has_v else v0
-            w_at = w1_ref[:] if has_w else w0
-
-        # -- gather: kept-mode E at the two hat neighbors of x_at --
+    def gather_e(x_at, mre_ref, mim_ref):
+        """Kept-mode E at the two hat neighbors of x_at; also returns the
+        trig so a following deposit at the same positions reuses it."""
         w0h, w1h, trig = _trig_block(x_at, cfg.lx, cfg.nx, cfg.modes, dtype)
         e = None
         for i, (c0, s0, c1, s1) in enumerate(trig):
             term = (w0h * c0 + w1h * c1) * mre_ref[0, i] \
                  - (w0h * s0 + w1h * s1) * mim_ref[0, i]
             e = term if e is None else e + term
-        e_p = 2.0 * e
+        return 2.0 * e, (w0h, w1h, trig)
 
-        # -- push, reference ordering: x, w, v; always from the step-start
-        # backups (x0, v0, w0) with midpoint fields/velocities --
+    def push(x0, v0, p, w0, v_at, w_at, e_p, dt_eff):
+        """Reference update ordering x, w, v from the step-start backups with
+        midpoint fields/velocities (src/pic1dp_interaction.F90:238-339)."""
         x_new = _fast_wrap(x0 + dt_eff * v_at, cfg.lx)
         if has_w:
             drive = (p * e_p) if cfg.linear else ((p - w_at) * e_p)
@@ -278,17 +269,49 @@ def make_substep_call(cfg: Config, s: int, substep: int, n: int, *,
         else:
             w_new = w0
         v_new = v0 + (dt_eff * q_over_m) * e_p if has_v else v0
+        return x_new, v_new, w_new
 
-        out_i = 0
-        if substep == 2:
+    def kernel(*refs):
+        in_refs, out_refs = refs[:n_pin + n_scal], refs[n_pin + n_scal:]
+        x_ref, v_ref, p_ref, w_ref, *rest = in_refs
+        scal = rest[-n_scal:]
+        w1_ref = rest[0] if (substep == 2 and has_w) else None
+        proj_ref = out_refs[-1]
+
+        x0 = x_ref[:]
+        v0 = v_ref[:]
+        p = p_ref[:]
+        w0 = w_ref[:]
+
+        if substep == 1:
+            # half push from the step-start field
+            e_p0, _ = gather_e(x0, scal[0], scal[1])
+            x_new, _, w_new = push(x0, v0, p, w0, v0, w0, e_p0, dt_half)
+            if has_w:
+                out_refs[0][:] = w_new
+        else:
+            # re-derive the midpoint positions/velocities in-register
+            # (identical code + inputs as substep 1: bitwise-equal midpoint);
+            # the weights w1 are streamed in — their recompute would need the
+            # -f0'/f0 chain and tip this substep compute-bound
+            if has_v:
+                e_p0, _ = gather_e(x0, scal[0], scal[1])
+                v1 = v0 + (dt_half * q_over_m) * e_p0
+            else:
+                v1 = v0
+            x1 = _fast_wrap(x0 + dt_half * v0, cfg.lx)
+            w1 = w1_ref[:] if has_w else w0
+            e_p1, _ = gather_e(x1, scal[-2], scal[-1])
+            x_new, v_new, w_new = push(x0, v0, p, w0, v1, w1, e_p1, cfg.dt)
+            out_i = 0
             out_refs[out_i][:] = x_new
             out_i += 1
-        if has_v:
-            out_refs[out_i][:] = v_new
-            out_i += 1
-        if has_w:
-            out_refs[out_i][:] = w_new
-            out_i += 1
+            if has_v:
+                out_refs[out_i][:] = v_new
+                out_i += 1
+            if has_w:
+                out_refs[out_i][:] = w_new
+                out_i += 1
 
         # -- deposit: accumulate raw mode projections of the new positions.
         # Cross-lane scalar reductions per block are slow on the VPU, so the
@@ -318,8 +341,8 @@ def make_substep_call(cfg: Config, s: int, substep: int, n: int, *,
     pout = jax.ShapeDtypeStruct((nrows, 128), dtype, vma=vma)
     grid_spec = pl.GridSpec(
         grid=(nblocks,),
-        in_specs=[pblock] * n_in + [mblock, mblock],
-        out_specs=tuple([pblock] * (n_out)
+        in_specs=[pblock] * n_pin + [mblock] * n_scal,
+        out_specs=tuple([pblock] * n_out
                         + [pl.BlockSpec((2 * nmode, 8, 128), lambda b: (0, 0, 0),
                                         memory_space=pltpu.VMEM)]),
     )
@@ -333,18 +356,17 @@ def make_substep_call(cfg: Config, s: int, substep: int, n: int, *,
                                                 vma=vma)]),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=n * (40 + 30 * nmode),
-            bytes_accessed=(n_in + n_out + 1) * n * dtype.itemsize,
-            transcendentals=n * (4 * nmode + 1),
+            flops=n * (30 + 30 * nmode) * substep,
+            bytes_accessed=(n_pin + n_out + 1) * n * dtype.itemsize,
+            transcendentals=n * (2 * nmode + 1) * substep,
         ),
     )
 
     def fn(*arrays):
-        *particle, mode_re, mode_im = arrays
+        particle, modes_flat = arrays[:n_pin], arrays[n_pin:]
         blocked = [a.reshape(nrows, 128) for a in particle]
-        mre = mode_re.reshape(1, nmode).astype(dtype)
-        mim = mode_im.reshape(1, nmode).astype(dtype)
-        *pouts, proj3 = call(*blocked, mre, mim)
+        scal = [m.reshape(1, nmode).astype(dtype) for m in modes_flat]
+        *pouts, proj3 = call(*blocked, *scal)
         sums = jnp.sum(proj3, axis=(1, 2))          # (2*nmode,)
         proj = jnp.stack([sums[0::2], sums[1::2]])  # (2, nmode): cos; sin
         return tuple(o.reshape(n) for o in pouts) + (proj,)
@@ -379,41 +401,48 @@ class FusedStepper:
         return self._subs[key]
 
     def substep1(self, x, v, p, w, mode_re, mode_im):
-        """(ns, N) step-start arrays -> (v1, w1, (p_c, p_s)); proj summed over
-        species.  v1/w1 fall back to the inputs for frozen streams."""
-        return self._run(1, (x, v, p, w), (v, w), mode_re, mode_im)
+        """(ns, N) step-start arrays + step-start mode scalars
+        -> (w1, (p_c, p_s)): the streamed midpoint weights (= w when w is
+        frozen) and the raw midpoint-deposit projections summed over
+        species.  x1/v1 are not written — substep 2 re-derives them."""
+        outs = self._run(1, (x, v, p, w), (mode_re, mode_im))
+        proj = sum(o[-1] for o in outs)
+        w1 = jnp.stack([o[0] for o in outs]) if self.has_w else w
+        return w1, (proj[0], proj[1])
 
-    def substep2(self, x, v, p, w, v1, w1, mode_re, mode_im):
-        """Step-start (x, v, p, w) + midpoint (v1, w1)
-        -> (x2, v2, w2, (p_c, p_s))."""
-        mid = ([v1] if self.has_v else []) + ([w1] if self.has_w else [])
-        return self._run(2, (x, v, p, w, *mid), (v, w), mode_re, mode_im)
-
-    def _run(self, substep, particle_arrays, fallbacks, mode_re, mode_im):
-        ns = self.cfg.nspecies
-        n = particle_arrays[0].shape[-1]
-        if self.axis_name is not None:
-            # replicated mode scalars -> varying, so every kernel input
-            # carries the same manual-axes set under shard_map
-            mode_re = jax.lax.pcast(mode_re, self.axis_name, to="varying")
-            mode_im = jax.lax.pcast(mode_im, self.axis_name, to="varying")
-        outs = []
-        for s in range(ns):
-            per_species = tuple(a[s] for a in particle_arrays)
-            fn = self._sub(substep, s, n)
-            outs.append(fn(*per_species, mode_re, mode_im))
+    def substep2(self, x, v, p, w, w1, mode_re0, mode_im0, mode_re1,
+                 mode_im1):
+        """Step-start state + streamed midpoint weights + mode scalars
+        -> (x2, v2, w2, (p_c, p_s)).  Frozen streams return the inputs."""
+        particle = (x, v, p, w) + ((w1,) if self.has_w else ())
+        scal = ((mode_re0, mode_im0, mode_re1, mode_im1) if self.has_v
+                else (mode_re1, mode_im1))
+        outs = self._run(2, particle, scal)
         proj = sum(o[-1] for o in outs)
 
         def stack(idx):
             return jnp.stack([o[idx] for o in outs])
 
         i = 0
-        if substep == 2:
-            x_out = stack(i)
-            i += 1
-        v_out = stack(i) if self.has_v else fallbacks[0]
+        x_out = stack(i)
+        i += 1
+        v_out = stack(i) if self.has_v else v
         i += 1 if self.has_v else 0
-        w_out = stack(i) if self.has_w else fallbacks[1]
-        if substep == 1:
-            return v_out, w_out, (proj[0], proj[1])
+        w_out = stack(i) if self.has_w else w
         return x_out, v_out, w_out, (proj[0], proj[1])
+
+    def _run(self, substep, particle_arrays, mode_scalars):
+        ns = self.cfg.nspecies
+        n = particle_arrays[0].shape[-1]
+        if self.axis_name is not None:
+            # replicated mode scalars -> varying, so every kernel input
+            # carries the same manual-axes set under shard_map
+            mode_scalars = tuple(
+                jax.lax.pcast(m, self.axis_name, to="varying")
+                for m in mode_scalars)
+        outs = []
+        for s in range(ns):
+            per_species = tuple(a[s] for a in particle_arrays)
+            fn = self._sub(substep, s, n)
+            outs.append(fn(*per_species, *mode_scalars))
+        return outs

@@ -104,22 +104,37 @@ def main() -> None:
     jax.block_until_ready(state.electric)
     log(f"load+initial solve: {time.perf_counter() - t0:.1f}s")
 
-    multi = stepper.make_multi_step(steps)
-    t0 = time.perf_counter()
-    state = multi(state)
-    jax.block_until_ready(state.electric)
-    log(f"first {steps}-step scan (compile+run): {time.perf_counter() - t0:.1f}s")
+    # Scan-length slope timing: time k-step and 3k-step scans and report the
+    # slope.  This excludes the remote-tunnel dispatch latency (~30 ms/call)
+    # a single scan would fold in, and the np.asarray host fetch forces real
+    # execution — over the axon tunnel block_until_ready on a small output
+    # can return before anything ran (see CLAUDE.md).
+    import numpy as np
 
+    multi_a = stepper.make_multi_step(steps)
+    multi_b = stepper.make_multi_step(3 * steps)
     t0 = time.perf_counter()
-    state = multi(state)
-    jax.block_until_ready(state.electric)
-    elapsed = time.perf_counter() - t0
+    np.asarray(multi_a(state).electric)
+    log(f"first {steps}-step scan (compile+run): {time.perf_counter() - t0:.1f}s")
+    np.asarray(multi_b(state).electric)
+
+    elapsed = 1e30
+    for _ in range(2):
+        t0 = time.perf_counter()
+        np.asarray(multi_a(state).electric)
+        t_a = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        sb = multi_b(state)
+        np.asarray(sb.electric)
+        t_b = time.perf_counter() - t0
+        elapsed = min(elapsed, (t_b - t_a) / (2 * steps) * steps)
+    state = sb
 
     # 2 RK substeps per step, each pushing every marker
     pushes = 2.0 * n * steps
     rate = pushes / elapsed
-    log(f"{steps} steps in {elapsed:.3f}s -> {rate:.3e} pushes/s "
-        f"({elapsed / steps * 1e3:.1f} ms/step)")
+    log(f"slope of {steps}- vs {3 * steps}-step scans -> {rate:.3e} pushes/s "
+        f"({elapsed / steps * 1e3:.2f} ms/step)")
 
     # secondary: deposition nnz/s (2 nnz per marker per substep) and
     # deposit+solve time via the matrix-free projection (measured inside one
@@ -145,9 +160,9 @@ def main() -> None:
         out, _ = jax.lax.scan(body, jnp.zeros((), state.x.dtype), None, length=32)
         return out
 
-    dep_solve_loop(state).block_until_ready()
+    np.asarray(dep_solve_loop(state))
     t0 = time.perf_counter()
-    dep_solve_loop(state).block_until_ready()
+    np.asarray(dep_solve_loop(state))
     dep_solve_us = (time.perf_counter() - t0) / 32 * 1e6
     log(f"deposition (attributed): {nnz_rate:.3e} nnz/s; matrix-free "
         f"deposit+solve {dep_solve_us:.0f} us/substep")

@@ -235,9 +235,10 @@ class Stepper:
     def _step_spectral_pallas(self, state: SimState) -> SimState:
         """Matrix-free RK2 step with both substeps as fused Pallas kernels
         (ops/pallas_kernels.py); mode solve between them is scalar work.
-        The midpoint state (x1, v1, w1) never leaves VMEM: substep 2
-        recomputes it bitwise-identically from the step-start state and
-        the step-start mode scalars (see ops/pallas_kernels.py)."""
+        The midpoint positions/velocities (x1, v1) never leave VMEM —
+        substep 2 recomputes them bitwise-identically from the step-start
+        state and mode scalars; only the midpoint weights w1 are streamed
+        (recomputing those too measures slower, see docs/performance.md)."""
         from pic1dp_tpu.ops.pallas_kernels import FusedStepper
 
         if self._fused is None:

@@ -125,6 +125,12 @@ def _minus_dlnf0_dv_fast(eq, sp, v):
         inv_vth2b = 1.0 / vth2b
         c_core = sp.density / math.sqrt(vth2)
         c_beam = (1.0 - sp.density) / math.sqrt(vth2b)
+        # degenerate core fractions (density exactly 1 or 0) collapse to a
+        # single Maxwellian — the ratio form's log would domain-error
+        if c_beam <= 0.0:
+            return v * inv_vth2
+        if c_core <= 0.0:
+            return (v - sp.v0) * inv_vth2b
         # r = beam/core = (c_beam/c_core) exp(v^2/(2 vth2) - (v-v0)^2/(2 vth2b))
         log_ratio = math.log(c_beam) - math.log(c_core)
         arg = (v * v * (0.5 * inv_vth2)

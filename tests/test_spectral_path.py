@@ -139,3 +139,25 @@ def test_pallas_f32_poly_trig_matches_xla():
     scale = np.max(np.abs(np.asarray(a.w))) + 1e-30
     np.testing.assert_allclose(np.asarray(b.w) / scale,
                                np.asarray(a.w) / scale, rtol=0, atol=1e-4)
+
+
+def test_pallas_bump_on_tail_degenerate_density():
+    """density=1.0 (pure core) / 0.0 (pure beam) collapse the two-Gaussian
+    ratio form to a single Maxwellian; the log in the ratio constant must
+    not domain-error and the kernel must match the XLA path."""
+    from pic1dp_tpu.config import DepositMethod, SpeciesConfig
+
+    for density in (1.0, 0.0):
+        cfg = bump_on_tail_default(nx=64, nparticle_max=2048, dtype="float64",
+                                   verbosity=0)
+        sp = dataclasses.replace(cfg.species[0], density=density)
+        cfg = dataclasses.replace(cfg, species=(sp,))
+        cfg_p = dataclasses.replace(cfg, deposit_method=DepositMethod.PALLAS)
+        st_x, st_p = Stepper(cfg), Stepper(cfg_p)
+        state = st_x.initial_field(load_particles(cfg, jax.random.PRNGKey(7)))
+        a = st_x.step(st_x.step(state))
+        b = st_p.step(st_p.step(state))
+        scale = np.max(np.abs(np.asarray(a.w))) + 1e-300
+        np.testing.assert_allclose(np.asarray(b.w) / scale,
+                                   np.asarray(a.w) / scale, atol=1e-12,
+                                   err_msg=f"density={density}")

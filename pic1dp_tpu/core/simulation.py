@@ -149,16 +149,21 @@ class Simulation:
         with self.timers.phase("output"):
             eng = self.stepper.energies(self.state)
             ptcl = self.stepper.ptcldist(self.state)
-            eng = jax.tree_util.tree_map(np.asarray, eng)
             rho = self.state.rho
             if self.cfg.diag_full_rho and self.writer is not None:
                 # exact full-spectrum grid charge for the diagnostic stream
                 # (reference writes the deposited rho, all modes)
                 rho = self.stepper.full_rho(self.state)
+            # ONE device->host transfer for the whole snapshot: over a
+            # remote-tunnel backend each fetch costs ~10 ms of latency, and
+            # a snapshot is ~10 arrays (the reference's analogue is its
+            # single rank-0 binary write, src/pic1dp_output.F90:173-187)
+            eng, ptcl, mode_re, mode_im, electric, rho = jax.device_get(
+                (eng, ptcl, self.state.mode_re, self.state.mode_im,
+                 self.state.electric, rho))
             if self.writer is not None:
                 self.writer.write_snapshot(
-                    self.time, eng, self.state.mode_re, self.state.mode_im,
-                    self.state.electric, rho, ptcl,
+                    self.time, eng, mode_re, mode_im, electric, rho, ptcl,
                 )
         if self.cfg.verbosity >= 1:
             self._print_progress(float(eng.field))

@@ -182,26 +182,43 @@ def _sincos_turns(t):
 
 def _trig_block(x, lx, nx: int, modes, dtype):
     """mode_trig specialized for in-kernel blocks (same math as
-    ops/spectral.mode_trig).  f32 uses the quadrant polynomials above; f64
-    (CPU interpret mode, equivalence tests) keeps exact jnp.cos/sin so the
-    1e-12 pins against the XLA spectral path hold bitwise-tight."""
+    ops/spectral.mode_trig).  f32 uses the quadrant polynomials above — one
+    evaluation for the base angle, then the angle-addition recurrence walks
+    up to each kept mode (~6 mul-adds per unit of mode number instead of a
+    full ~25-op polynomial pair; error grows ~3e-7 per unit, so modes above
+    8 fall back to a direct evaluation).  f64 (CPU interpret mode,
+    equivalence tests) keeps exact jnp.cos/sin so the 1e-12 pins against the
+    XLA spectral path hold bitwise-tight."""
     s = x * (nx / lx)
     ix0 = jnp.floor(s)
     frac = s - ix0
     ix0 = jnp.clip(ix0, 0.0, float(nx - 1))
     w0, w1 = 1.0 - frac, frac
     fast = dtype == jnp.float32
-    out = []
-    for m in modes:
-        step = 2.0 * np.pi * m / nx
+
+    def direct(m):
         if fast:
             tm = ix0 * np.float32(m / nx)     # m*ix0 exact below 2^24
             t = tm - jnp.floor(tm)            # mod 1: exact
-            c0, s0 = _sincos_turns(t)
-        else:
-            theta0 = ix0 * jnp.asarray(step, dtype)
-            c0 = jnp.cos(theta0)
-            s0 = jnp.sin(theta0)
+            return _sincos_turns(t)
+        theta0 = ix0 * jnp.asarray(2.0 * np.pi * m / nx, dtype)
+        return jnp.cos(theta0), jnp.sin(theta0)
+
+    trig_m = {}
+    if fast and len(modes) > 1 and max(modes) <= 8:
+        cb, sb = direct(1)
+        c, s_, j = cb, sb, 1
+        while j < max(modes):
+            if j in modes:
+                trig_m[j] = (c, s_)
+            c, s_ = c * cb - s_ * sb, s_ * cb + c * sb
+            j += 1
+        trig_m[j] = (c, s_)
+
+    out = []
+    for m in modes:
+        step = 2.0 * np.pi * m / nx
+        c0, s0 = trig_m[m] if m in trig_m else direct(m)
         cd = np.asarray(np.cos(step), dtype)  # typed: np.float64 scalars
         sd = np.asarray(np.sin(step), dtype)  # would promote f32 under x64
         c1 = c0 * cd - s0 * sd

@@ -117,14 +117,22 @@ def test_pallas_matches_spectral(name, cfg):
                                    err_msg=f"{name}:{field}")
 
 
-def test_pallas_f32_poly_trig_matches_xla():
+@pytest.mark.parametrize("modes", [(1,), (1, 2, 3)],
+                         ids=["single", "multimode-recurrence"])
+def test_pallas_f32_poly_trig_matches_xla(modes):
     """The f32 hot path replaces Mosaic's generic sin/cos with exact-quadrant
-    degree-5 polynomials (max err ~2e-7, a few f32 ulp).  Against the XLA f32
-    spectral path the per-step divergence must stay at trig-roundoff level."""
+    degree-5 polynomials (max err ~2e-7, a few f32 ulp; extra modes via the
+    angle-addition recurrence, ~3e-7 error per mode unit).  Against the XLA
+    f32 spectral path the per-step divergence must stay at trig-roundoff
+    level."""
     from pic1dp_tpu.config import DepositMethod
 
     cfg = bump_on_tail_default(nx=192, nparticle_max=8192, dtype="float32",
                                verbosity=0)
+    if len(modes) > 1:
+        cfg = dataclasses.replace(cfg, modes=modes, init_modes=(1, 2),
+                                  init_amp_cos=(1e-5, 0.0),
+                                  init_amp_sin=(1e-4, 5e-5))
     cfg_p = dataclasses.replace(cfg, deposit_method=DepositMethod.PALLAS)
     st_x, st_p = Stepper(cfg), Stepper(cfg_p)
     state = st_x.initial_field(load_particles(cfg, jax.random.PRNGKey(5)))

@@ -173,3 +173,31 @@ def test_pallas_auto_falls_back_on_unaligned_shard(devices):
     a = single.step(state)
     b = sharded.step(pmesh.shard_state(state, mesh))
     np.testing.assert_allclose(np.asarray(b.x), np.asarray(a.x), atol=1e-12)
+
+
+def test_sharded_step_communicates_only_mode_scalars(devices):
+    """The weak-scaling claim, pinned at the HLO level: one full RK2 step
+    compiled over an 8-device particle mesh must contain exactly TWO
+    all-reduces (one per substep — the deposition psum of the (2, nmode)
+    projections, reference MPI_Allreduce src/pic1dp_interaction.F90:130-135)
+    and NO other collectives: no all-gather for the E broadcast (the
+    kept-mode field is replicated scalars), no halo exchange ever."""
+    import re
+
+    from pic1dp_tpu.core.loading import load_particles
+
+    cfg = landau_damping(nx=64, nparticle=8192, dtype="float64", verbosity=0)
+    mesh = pmesh.make_mesh(8)
+    st = pmesh.ShardedStepper(cfg, mesh)
+    state = pmesh.shard_state(load_particles(cfg, jax.random.PRNGKey(0)), mesh)
+    state = st.initial_field(state)
+    hlo = jax.jit(st.step).lower(state).compile().as_text()
+
+    starts = [ln for ln in hlo.splitlines()
+              if " all-reduce(" in ln and " = " in ln]
+    assert len(starts) == 2, starts
+    for ln in starts:  # each reduces the (pc, ps) pair: two length-nmode arrs
+        shapes = re.findall(r"f(?:32|64)\[(\d+)\]", ln.split(" all-reduce(")[0])
+        assert shapes and all(int(d) == len(cfg.modes) for d in shapes), ln
+    assert not re.search(r"all-gather|all-to-all|collective-permute|"
+                         r"reduce-scatter", hlo)

@@ -314,8 +314,24 @@ class Simulation:
         with np.load(path) as ck:
             saved_cfg = bytes(ck["config_json"]).decode()
             if saved_cfg != self.cfg.to_json():
-                raise ValueError(
-                    f"checkpoint {path} was written with a different config")
+                # allow fields that don't affect the saved state or its
+                # physics to differ — extending a run (time_max/ntime_max),
+                # changing output cadence/verbosity, or re-tuning the
+                # execution knobs is exactly what resume is for
+                import json
+
+                run_only = {"time_max", "ntime_max", "output_interval",
+                            "verbosity", "deposit_method", "deposit_chunk",
+                            "diag_full_rho", "nx_opd", "nv_opd"}
+                a = json.loads(saved_cfg)
+                b = json.loads(self.cfg.to_json())
+                diff = {k for k in set(a) | set(b)
+                        if a.get(k) != b.get(k)} - run_only
+                if diff:
+                    raise ValueError(
+                        f"checkpoint {path} was written with a different "
+                        f"config (state-affecting fields differ: "
+                        f"{sorted(diff)})")
             sharded_keys = any("@" in k for k in ck.files)
             if sharded_keys:
                 self.state = self._rebuild_sharded_state(ck)

@@ -50,6 +50,11 @@ def enable_compilation_cache(path: str | None = None) -> str | None:
     current = jax.config.jax_compilation_cache_dir
     if current:  # already configured (env var or user code) — respect it
         return current
+    if jax.default_backend() == "cpu":
+        # CPU AOT executables bake host CPU features (cached on one machine,
+        # loaded on another -> possible SIGILL) and CPU compiles are cheap;
+        # the cache exists for the minutes-long accelerator compiles
+        return None
     cache_dir = path or _default_dir()
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     return cache_dir

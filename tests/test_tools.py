@@ -123,13 +123,18 @@ def test_checkpoint_resume(tmp_path):
 
 
 def test_checkpoint_config_mismatch(tmp_path):
+    """State-affecting config changes are rejected; run-control changes
+    (extending time_max, output cadence) are exactly what resume is for."""
     cfg = landau_damping(nx=32, nparticle=4096, dtype="float64", verbosity=0)
     sim = Simulation(cfg)
     sim.load()
     ck = sim.save_checkpoint(str(tmp_path / "ck.npz"))
-    other = Simulation(dataclasses.replace(cfg, time_max=1.0))
     with pytest.raises(ValueError, match="different config"):
-        other.restore_checkpoint(ck)
+        Simulation(dataclasses.replace(cfg, nx=64)).restore_checkpoint(ck)
+    extended = Simulation(dataclasses.replace(cfg, time_max=50.0,
+                                              output_interval=1.0))
+    extended.restore_checkpoint(ck)
+    assert extended.itime == sim.itime
 
 
 def test_chunked_run_matches_per_step():

@@ -201,3 +201,29 @@ def test_sharded_step_communicates_only_mode_scalars(devices):
         assert shapes and all(int(d) == len(cfg.modes) for d in shapes), ln
     assert not re.search(r"all-gather|all-to-all|collective-permute|"
                          r"reduce-scatter", hlo)
+
+
+def test_weak_scaling_harness_runs():
+    """bench/weak_scaling.py end-to-end on the virtual CPU mesh: one row per
+    device count plus the summary efficiency line (plumbing check; hardware
+    numbers require a real multi-chip slice)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {**os.environ, "PIC1DP_WS_CPU": "1", "PIC1DP_WS_NPER": "8192",
+           "PIC1DP_WS_STEPS": "2", "PIC1DP_WS_NX": "64",
+           "PIC1DP_WS_DEVICES": "1,4"}
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "bench", "weak_scaling.py")],
+        env=env, cwd=repo, capture_output=True, text=True, timeout=300)
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [json.loads(ln) for ln in out.stdout.splitlines() if ln.strip()]
+    rows = [l for l in lines if l["metric"] == "weak_scaling_pushes_per_sec"]
+    assert [r["devices"] for r in rows] == [1, 4]
+    assert all(r["value"] > 0 for r in rows)
+    summary = lines[-1]
+    assert summary["metric"] == "weak_scaling_efficiency"
+    assert summary["value"] > 0

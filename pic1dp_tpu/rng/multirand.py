@@ -34,6 +34,14 @@ import numpy as np
 M64 = (1 << 64) - 1
 MAX_I64 = float((1 << 63) - 1)          # multirand_max64 (:73-75)
 MAX_U64 = float((1 << 64) - 1)          # multirand_maxu64 (:76-78)
+MAX_I32 = np.float32(2147483647.0)      # multirand_max32 (:78)
+MAX_U32 = np.float32(4294967295.0)      # multirand_maxu32 (:80)
+
+
+def _i32(x: int) -> int:
+    """Reinterpret the low 32 bits as a signed int32 (Fortran int(..., mrki32))."""
+    x &= 0xFFFFFFFF
+    return x - (1 << 32) if x >= (1 << 31) else x
 
 # prime tables (reference src/multirand.F90:170-205)
 _PRIMES1 = [
@@ -103,6 +111,7 @@ class MultiRand:
         self.iseed = 0
         self._int32_buf: int | None = None
         self._gauss_buf: float | None = None
+        self._gauss32_buf: np.float32 | None = None
         if selftest:
             errors = self.selftest()
             if errors:
@@ -298,6 +307,89 @@ class MultiRand:
                 out[i + 1] = f * y
             else:
                 self._gauss_buf = f * y
+            i += 2
+        return out
+
+    # ---- 32-bit variants: 64 -> 2x32 split buffering (reference :576-637,
+    # :651-658, :712-777, :806-831, :883-914).  Each 64-bit draw yields two
+    # 32-bit values (low word first, INT64TO32_1/2 macros :54-55); an odd
+    # consumer leaves the high word in the carry buffer.  Real conversion and
+    # the Gaussian polar method run in float32 arithmetic, as in the
+    # reference's mrkr32 kind. ----
+
+    def int32(self) -> int:
+        """Signed 32-bit draw (multirand_int32, :576-590)."""
+        if self._int32_buf is not None:
+            out, self._int32_buf = self._int32_buf, None
+            return out
+        i64 = self.int64()
+        self._int32_buf = _i32(i64 >> 32)
+        return _i32(i64)
+
+    def real32(self) -> np.float32:
+        """Uniform [0, 1] float32: INT2REAL32 macro (:50, :651-658)."""
+        return np.float32(np.float32(self.int32()) / MAX_U32 + np.float32(0.5))
+
+    def real_array32(self, n: int) -> np.ndarray:
+        """multirand_real_array32 (:712-777): leading carry value first, then
+        pairwise fill; an odd tail leaves the high word buffered."""
+        out = np.empty(n, dtype=np.float32)
+        i = 0
+        if self._int32_buf is not None:
+            out[0] = np.float32(np.float32(self._int32_buf) / MAX_U32
+                                + np.float32(0.5))
+            self._int32_buf = None
+            i = 1
+        while i < n:
+            i64 = self.int64()
+            out[i] = np.float32(np.float32(_i32(i64)) / MAX_U32
+                                + np.float32(0.5))
+            if i + 1 < n:
+                out[i + 1] = np.float32(np.float32(_i32(i64 >> 32)) / MAX_U32
+                                        + np.float32(0.5))
+            else:
+                self._int32_buf = _i32(i64 >> 32)
+            i += 2
+        return out
+
+    def gaussian32(self) -> np.float32:
+        """Marsaglia polar method in float32; one 64-bit draw feeds both
+        coordinates (multirand_gaussian32, :806-831)."""
+        if self._gauss32_buf is not None:
+            g, self._gauss32_buf = self._gauss32_buf, None
+            return g
+        while True:
+            i64 = self.int64()
+            x = np.float32(np.float32(_i32(i64)) / MAX_I32)
+            y = np.float32(np.float32(_i32(i64 >> 32)) / MAX_I32)
+            s = np.float32(x * x + y * y)
+            if np.float32(0.0) < s < np.float32(1.0):
+                break
+        f = np.float32(np.sqrt(np.float32(-2.0) * np.log(s) / s))
+        self._gauss32_buf = np.float32(f * y)
+        return np.float32(f * x)
+
+    def gaussian_array32(self, n: int) -> np.ndarray:
+        """multirand_gaussian_array32 buffering (:883-914)."""
+        out = np.empty(n, dtype=np.float32)
+        i = 0
+        if self._gauss32_buf is not None:
+            out[0], self._gauss32_buf = self._gauss32_buf, None
+            i = 1
+        while i < n:
+            while True:
+                i64 = self.int64()
+                x = np.float32(np.float32(_i32(i64)) / MAX_I32)
+                y = np.float32(np.float32(_i32(i64 >> 32)) / MAX_I32)
+                s = np.float32(x * x + y * y)
+                if np.float32(0.0) < s < np.float32(1.0):
+                    break
+            f = np.float32(np.sqrt(np.float32(-2.0) * np.log(s) / s))
+            out[i] = np.float32(f * x)
+            if i + 1 < n:
+                out[i + 1] = np.float32(f * y)
+            else:
+                self._gauss32_buf = np.float32(f * y)
             i += 2
         return out
 

@@ -74,6 +74,62 @@ class TestDistributions:
         np.testing.assert_array_equal(arr, manual)
 
 
+class Test32BitVariants:
+    """64 -> 2x32 split buffering (reference src/multirand.F90:576-637,
+    :712-777, :806-914): low word first, the unconsumed high word carries
+    over to the next 32-bit draw."""
+
+    def test_int32_pairs_reconstruct_int64(self):
+        a = MultiRand(algorithm=3, seed_type=1, warmup=1)
+        b = MultiRand(algorithm=3, seed_type=1, warmup=1)
+        i64 = a.int64()
+        lo, hi = b.int32(), b.int32()
+        assert ((hi & 0xFFFFFFFF) << 32 | (lo & 0xFFFFFFFF)) == i64
+        # the third 32-bit draw starts a fresh 64-bit word
+        assert (b.int32() & 0xFFFFFFFF) == (a.int64() & 0xFFFFFFFF)
+
+    def test_real32_range_and_mean(self):
+        eng = MultiRand(algorithm=1, seed_type=1, warmup=1)
+        arr = eng.real_array32(4001)  # odd length exercises the carry
+        assert arr.dtype == np.float32
+        assert np.all((arr >= 0.0) & (arr <= 1.0))
+        assert abs(arr.mean() - 0.5) < 0.03
+
+    def test_real32_buffer_continuity(self):
+        a = MultiRand(algorithm=2, seed_type=1, warmup=1)
+        b = MultiRand(algorithm=2, seed_type=1, warmup=1)
+        whole = a.real_array32(7)
+        part = np.concatenate([[b.real32() for _ in range(3)],
+                               b.real_array32(4)]).astype(np.float32)
+        np.testing.assert_array_equal(whole, part)
+
+    def test_gaussian32_moments_and_continuity(self):
+        eng = MultiRand(algorithm=1, seed_type=1, warmup=1)
+        arr = eng.gaussian_array32(4001)
+        assert arr.dtype == np.float32
+        assert abs(arr.mean()) < 0.06
+        assert abs(arr.std() - 1.0) < 0.05
+        a = MultiRand(algorithm=3, seed_type=1, warmup=1)
+        b = MultiRand(algorithm=3, seed_type=1, warmup=1)
+        whole = a.gaussian_array32(6)
+        part = np.concatenate([b.gaussian_array32(3), b.gaussian_array32(3)])
+        np.testing.assert_array_equal(whole, part)
+
+    def test_int32_and_real32_share_the_carry_buffer(self):
+        """real_array32 consumes a carry left by int32 (reference :741-745)."""
+        a = MultiRand(algorithm=1, seed_type=1, warmup=1)
+        b = MultiRand(algorithm=1, seed_type=1, warmup=1)
+        lo = a.int32()              # leaves the high word buffered
+        first = a.real_array32(2)[0]
+        from pic1dp_tpu.rng.multirand import _i32
+
+        b_i64 = b.int64()
+        assert (lo & 0xFFFFFFFF) == (b_i64 & 0xFFFFFFFF)
+        expect = np.float32(np.float32(_i32(b_i64 >> 32))
+                            / np.float32(4294967295.0) + np.float32(0.5))
+        assert first == expect
+
+
 class TestNativeEngine:
     """The C++ engine (rng/native) must reproduce the Python oracle: integer
     and uniform streams bit-exactly; Gaussians to <= 1 ulp (libm log rounding

@@ -82,18 +82,21 @@ def main() -> None:
     from pic1dp_tpu.core.step import Stepper
 
     dev = jax.devices()[0]
+    nmode_env = os.environ.get("PIC1DP_BENCH_NMODE", "1")
     log(f"device: {dev.platform}:{dev.device_kind}  n={n:.2e} nx={nx} "
-        f"steps={steps}")
+        f"steps={steps} nmode={nmode_env}")
 
     from pic1dp_tpu.config import DepositMethod
 
     method = DepositMethod(os.environ.get("PIC1DP_BENCH_METHOD", "pallas"))
+    nmode = int(os.environ.get("PIC1DP_BENCH_NMODE", 1))
     cfg = bump_on_tail_default(
         nx=nx,
         nparticle_max=n,
         dtype="float32",
         deposit_method=method,
         deposit_chunk=int(os.environ.get("PIC1DP_BENCH_CHUNK", 65536)),
+        modes=tuple(range(1, nmode + 1)),
         verbosity=0,
     )
     stepper = Stepper(cfg)

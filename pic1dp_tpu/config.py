@@ -98,12 +98,16 @@ class DepositMethod(str, enum.Enum):
           a 1024-aligned particle capacity; ONEHOT otherwise (resolved at
           Stepper construction).
     ONEHOT: chunked one-hot contraction, MXU matmuls under lax.map (pure XLA).
+    TWOLEVEL: factorized (hi, lo)-digit one-hot contraction — nx/128 + 128
+          compares per entry instead of nx, contraction on the MXU (pure
+          XLA; the fast grid-space path for large nx).
     SEGMENT: jax segment_sum scatter-add (pure XLA; correctness baseline).
     PALLAS: fused Pallas TPU kernel (fast path).
     """
 
     AUTO = "auto"
     ONEHOT = "onehot"
+    TWOLEVEL = "twolevel"
     SEGMENT = "segment"
     PALLAS = "pallas"
 

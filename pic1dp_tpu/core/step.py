@@ -73,6 +73,14 @@ class Stepper:
                 DepositMethod.PALLAS
                 if eligible and jax.default_backend() == "tpu"
                 else DepositMethod.ONEHOT)
+        # grid-path gather: dynamic takes serialize on TPU (measured ~10x
+        # slower than the factorized one-hot at 16M entries), so TPU backends
+        # use the twolevel contraction; CPU keeps plain take
+        self.gather_method = (
+            "twolevel"
+            if (self.deposit_method == DepositMethod.TWOLEVEL
+                or jax.default_backend() == "tpu")
+            else "take")
         self.dtype = jnp.dtype(cfg.dtype)
         self.spectral = SpectralOperator.create(cfg.nx, cfg.modes, cfg.lx, self.dtype)
         self.sp = dist.SpeciesParams.from_config(cfg, self.dtype)
@@ -99,10 +107,11 @@ class Stepper:
         cfg = self.cfg
         if cfg.shape == ParticleShape.EXPLICIT:
             s_mat = shape_ops.ShapeMatrix.assemble(x, cfg.lx, cfg.nx)
-            return s_mat.gather(electric)
+            return s_mat.gather(electric, method=self.gather_method,
+                                chunk=cfg.deposit_chunk)
         flat = gather_ops.gather(
             x.reshape(-1), electric, cfg.lx, cfg.nx,
-            method="take", chunk=cfg.deposit_chunk,
+            method=self.gather_method, chunk=cfg.deposit_chunk,
         )
         return flat.reshape(x.shape)
 
@@ -118,7 +127,9 @@ class Stepper:
             grid = deposit_ops.deposit(
                 x.reshape(-1), val.reshape(-1), cfg.lx, cfg.nx,
                 method=self.deposit_method.value
-                if self.deposit_method == DepositMethod.SEGMENT else "onehot",
+                if self.deposit_method in (DepositMethod.SEGMENT,
+                                           DepositMethod.TWOLEVEL)
+                else "onehot",
                 chunk=cfg.deposit_chunk,
             )
         grid = self._psum(grid)

@@ -50,8 +50,22 @@ class ShapeMatrix(NamedTuple):
                              (self.w1 * val).reshape(-1)])
         return jax.ops.segment_sum(w, idx, num_segments=self.nx)
 
-    def gather(self, grid: jnp.ndarray) -> jnp.ndarray:
-        """S grid -> per-particle values (the SpMV gather)."""
+    def gather(self, grid: jnp.ndarray, method: str = "take",
+               chunk: int = 16384) -> jnp.ndarray:
+        """S grid -> per-particle values (the SpMV gather).
+
+        method "take" uses dynamic gather (fast on CPU); "twolevel" uses the
+        factorized one-hot MXU contraction (fast on TPU, where dynamic
+        gathers serialize — see ops/gather.py)."""
+        if method == "twolevel":
+            from pic1dp_tpu.ops.gather import take_twolevel
+
+            shp = self.ix0.shape
+            g0 = take_twolevel(self.ix0.reshape(-1), grid, self.nx,
+                               chunk=chunk).reshape(shp)
+            g1 = take_twolevel(self.ix1.reshape(-1), grid, self.nx,
+                               chunk=chunk).reshape(shp)
+            return self.w0 * g0 + self.w1 * g1
         return self.w0 * jnp.take(grid, self.ix0) + \
             self.w1 * jnp.take(grid, self.ix1)
 

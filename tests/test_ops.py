@@ -86,6 +86,17 @@ class TestDeposit:
         np.testing.assert_allclose(grid[NX - 1], 0.25, rtol=1e-10)
         np.testing.assert_allclose(grid[0], 0.75, rtol=1e-10)
 
+    @pytest.mark.parametrize("nx", [NX, 128, 4096])
+    def test_twolevel_matches_onehot(self, nx):
+        """The factorized (hi, lo)-digit deposit is the same operator as the
+        flat one-hot — per-particle contributions identical, only the f64
+        summation order differs."""
+        x = rand_x(jax.random.PRNGKey(3), 3000)
+        val = jax.random.normal(jax.random.PRNGKey(4), (3000,), jnp.float64)
+        g1 = dep.deposit_onehot(x, val, LX, nx, chunk=1000)
+        g2 = dep.deposit_twolevel(x, val, LX, nx, chunk=1000)
+        np.testing.assert_allclose(g2, g1, rtol=1e-12, atol=1e-14)
+
 
 class TestGatherAdjoint:
     def test_gather_matches_onehot(self):
@@ -104,6 +115,39 @@ class TestGatherAdjoint:
         grid = jax.random.normal(jax.random.PRNGKey(9), (NX,), jnp.float64)
         lhs = jnp.vdot(dep.deposit_onehot(x, val, LX, NX, chunk=1024), grid)
         rhs = jnp.vdot(val, gat.gather_take(x, grid, LX, NX))
+        np.testing.assert_allclose(lhs, rhs, rtol=1e-10)
+
+    @pytest.mark.parametrize("nx", [NX, 4096])
+    def test_twolevel_gather_matches_take(self, nx):
+        x = rand_x(jax.random.PRNGKey(5), 2000)
+        grid = jax.random.normal(jax.random.PRNGKey(6), (nx,), jnp.float64)
+        e1 = gat.gather_take(x, grid, LX, nx)
+        e2 = gat.gather_twolevel(x, grid, LX, nx, chunk=512)
+        np.testing.assert_allclose(e2, e1, rtol=1e-12, atol=1e-14)
+
+    def test_take_twolevel_matches_take(self):
+        ix = jax.random.randint(jax.random.PRNGKey(10), (3000,), 0, 4096)
+        grid = jax.random.normal(jax.random.PRNGKey(11), (4096,), jnp.float64)
+        np.testing.assert_array_equal(
+            np.asarray(gat.take_twolevel(ix, grid, 4096, chunk=512)),
+            np.asarray(jnp.take(grid, ix)))
+
+    def test_shape_matrix_gather_twolevel(self):
+        from pic1dp_tpu.ops.shape_matrix import ShapeMatrix
+
+        x = rand_x(jax.random.PRNGKey(12), 2000)
+        grid = jax.random.normal(jax.random.PRNGKey(13), (NX,), jnp.float64)
+        s = ShapeMatrix.assemble(x, LX, NX)
+        np.testing.assert_allclose(
+            np.asarray(s.gather(grid, method="twolevel", chunk=512)),
+            np.asarray(s.gather(grid)), rtol=1e-12, atol=1e-14)
+
+    def test_twolevel_pair_adjointness(self):
+        x = rand_x(jax.random.PRNGKey(7), 4000)
+        val = jax.random.normal(jax.random.PRNGKey(8), (4000,), jnp.float64)
+        grid = jax.random.normal(jax.random.PRNGKey(9), (NX,), jnp.float64)
+        lhs = jnp.vdot(dep.deposit_twolevel(x, val, LX, NX, chunk=1024), grid)
+        rhs = jnp.vdot(val, gat.gather_twolevel(x, grid, LX, NX, chunk=1024))
         np.testing.assert_allclose(lhs, rhs, rtol=1e-10)
 
 

@@ -213,16 +213,16 @@ def test_weak_scaling_harness_runs():
     import sys
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    env = {**os.environ, "PIC1DP_WS_CPU": "1", "PIC1DP_WS_NPER": "8192",
+    env = {**os.environ, "PIC1DP_WS_CPU": "1", "PIC1DP_WS_NPER": "4096",
            "PIC1DP_WS_STEPS": "2", "PIC1DP_WS_NX": "64",
-           "PIC1DP_WS_DEVICES": "1,4"}
+           "PIC1DP_WS_DEVICES": "1,2"}
     out = subprocess.run(
         [sys.executable, os.path.join(repo, "bench", "weak_scaling.py")],
-        env=env, cwd=repo, capture_output=True, text=True, timeout=300)
-    assert out.returncode == 0, out.stderr[-2000:]
+        env=env, cwd=repo, capture_output=True, text=True, timeout=540)
+    assert out.returncode == 0, (out.returncode, out.stderr[-2000:])
     lines = [json.loads(ln) for ln in out.stdout.splitlines() if ln.strip()]
     rows = [l for l in lines if l["metric"] == "weak_scaling_pushes_per_sec"]
-    assert [r["devices"] for r in rows] == [1, 4]
+    assert [r["devices"] for r in rows] == [1, 2]
     assert all(r["value"] > 0 for r in rows)
     summary = lines[-1]
     assert summary["metric"] == "weak_scaling_efficiency"

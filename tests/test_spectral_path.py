@@ -169,3 +169,26 @@ def test_pallas_bump_on_tail_degenerate_density():
         np.testing.assert_allclose(np.asarray(b.w) / scale,
                                    np.asarray(a.w) / scale, atol=1e-12,
                                    err_msg=f"density={density}")
+
+
+def test_twolevel_stepper_matches_spectral():
+    """A MATRIX_FREE run forced onto the TWOLEVEL grid-deposit/gather pair
+    agrees with the spectral hot path to f64 roundoff — the factorized
+    one-hot is the same S / S^T operator."""
+    from pic1dp_tpu.config import DepositMethod
+
+    cfg = landau_damping(nx=256, nparticle=30000, dtype="float64",
+                         verbosity=0)
+    cfg_tl = dataclasses.replace(cfg, deposit_method=DepositMethod.TWOLEVEL)
+    st_s, st_t = Stepper(cfg), Stepper(cfg_tl)
+    assert st_t.deposit_method == DepositMethod.TWOLEVEL
+    state = st_s.initial_field(load_particles(cfg, jax.random.PRNGKey(2)))
+    a = b = state
+    for _ in range(5):
+        a = st_s.step(a)
+        b = st_t.step(b)
+    for field in ("x", "v", "w", "mode_re", "mode_im", "electric"):
+        va, vb = np.asarray(getattr(a, field)), np.asarray(getattr(b, field))
+        scale = np.max(np.abs(vb)) + 1e-300
+        np.testing.assert_allclose(va / scale, vb / scale, atol=1e-12,
+                                   err_msg=field)

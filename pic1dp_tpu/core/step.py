@@ -69,10 +69,15 @@ class Stepper:
         if self.deposit_method == DepositMethod.AUTO:
             eligible = (cfg.shape == ParticleShape.MATRIX_FREE
                         and cfg.nparticle_max % 1024 == 0)
-            self.deposit_method = (
-                DepositMethod.PALLAS
-                if eligible and jax.default_backend() == "tpu"
-                else DepositMethod.ONEHOT)
+            if eligible and jax.default_backend() == "tpu":
+                self.deposit_method = DepositMethod.PALLAS
+            elif jax.default_backend() == "tpu" and cfg.nx >= 2048:
+                # grid-path deposits on TPU: XLA's scatter lowering overtakes
+                # the flat one-hot at large nx (measured 3x at nx=4096,
+                # docs/performance.md)
+                self.deposit_method = DepositMethod.SEGMENT
+            else:
+                self.deposit_method = DepositMethod.ONEHOT
         # grid-path gather: dynamic takes serialize on TPU (measured ~10x
         # slower than the factorized one-hot at 16M entries), so TPU backends
         # use the twolevel contraction; CPU keeps plain take

@@ -98,6 +98,9 @@ def main() -> None:
         deposit_chunk=int(os.environ.get("PIC1DP_BENCH_CHUNK", 65536)),
         modes=tuple(range(1, nmode + 1)),
         verbosity=0,
+        # PIC1DP_BENCH_BF16=1: bf16 p storage + w1 stream (13N -> 11N
+        # hot-loop floats; error budget in docs/performance.md)
+        bf16_weights=bool(int(os.environ.get("PIC1DP_BENCH_BF16", "0"))),
     )
     stepper = Stepper(cfg)
 

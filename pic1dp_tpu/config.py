@@ -209,6 +209,18 @@ class Config:
     # deposit the FULL grid charge at snapshot time, byte-matching the
     # reference's diagnostic rho stream (costs one histogram per snapshot).
     diag_full_rho: bool = False
+    # Opt-in reduced-precision weight streams for the DMA-bound fused kernel:
+    # store the constant marker weights p and stream the midpoint weights w1
+    # in bfloat16; every arithmetic op stays f32 (values upcast in registers,
+    # and the persistent x/v/w state stays f32).  p and w1 only enter the
+    # delta-f drive (p - w) E (-f0'/f0), so the <=0.4% relative quantization
+    # acts as additional marker-weight loading noise, far below the sampling
+    # noise of any realistic marker count (error budget measured in
+    # docs/performance.md).  Cuts the hot-loop HBM traffic from 13N to 11N
+    # stream-floats per step.  Requires dtype float32; the Pallas path wants
+    # the per-device particle capacity % 2048 == 0 (else it falls back to
+    # the XLA spectral path).
+    bf16_weights: bool = False
 
     # optimization schedules
     optimization: OptimizationConfig = OptimizationConfig()
@@ -233,6 +245,12 @@ class Config:
         return len(self.modes)
 
     @property
+    def p_dtype(self) -> str:
+        """Storage dtype of the constant marker weights p (and the fused
+        kernel's w1 stream); the rest of the state keeps `dtype`."""
+        return "bfloat16" if self.bf16_weights else self.dtype
+
+    @property
     def nparticle_init(self) -> tuple[int, ...]:
         return tuple(
             s.nparticle_init if s.nparticle_init is not None else self.nparticle_max
@@ -251,6 +269,10 @@ class Config:
                 "linear full-f is not implemented "
                 "(reference src/pic1dp_input.F90:301-307)"
             )
+        if self.bf16_weights and self.dtype != "float32":
+            raise ValueError("bf16_weights requires dtype float32 "
+                             "(it is a traffic optimization of the f32 hot "
+                             "path; f64 runs want full-precision weights)")
         if self.output_interval < 2 * self.dt:
             raise ValueError("output_interval must be at least 2*dt "
                              "(reference src/pic1dp_input.F90:248-250)")

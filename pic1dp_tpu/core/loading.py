@@ -75,7 +75,10 @@ def _finish_load(cfg: Config, x, v, p, w, live=None) -> SimState:
     # Dead-slot invariant: p = w = 0 off the live mask, so dead markers
     # deposit nothing and their weights stay zero under the push equations —
     # the hot kernels never need to read the mask (core/state.py docstring).
-    p = jnp.where(live, p, 0.0)
+    # p is stored at cfg.p_dtype (bfloat16 under cfg.bf16_weights); w and the
+    # initial-perturbation product above are always computed from the full-
+    # precision p first.
+    p = jnp.where(live, p, 0.0).astype(jnp.dtype(cfg.p_dtype))
     w = jnp.where(live, w, 0.0)
     state = SimState(
         x=x, v=v, p=p, w=w, live=live,

@@ -29,6 +29,8 @@ bit-identical (the operations are Monte-Carlo noise control, not physics).
 
 from __future__ import annotations
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 
@@ -227,6 +229,14 @@ def apply_optimizations(cfg: Config, sp: dist.SpeciesParams, state: SimState,
     if axis_name is not None:
         # decorrelate the per-shard dice streams
         key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
+    # p may be stored reduced-precision (cfg.bf16_weights); the rare
+    # optimization arithmetic (pair merges, survivor rescales) runs at full
+    # precision and re-quantizes once at the end.  All particle dtypes are
+    # restored on exit — f64 draws under jax_enable_x64 (CPU tests) must not
+    # leak into an f32 state and change the jitted step's signature.
+    in_dtypes = {f: getattr(state, f).dtype for f in ("x", "v", "p", "w")}
+    if in_dtypes["p"] != in_dtypes["w"]:
+        state = dataclasses.replace(state, p=state.p.astype(state.w.dtype))
     k1, k2 = jax.random.split(key)
     if merge is not None:
         state = merge_particles(cfg, state, merge, axis_name)
@@ -236,8 +246,10 @@ def apply_optimizations(cfg: Config, sp: dist.SpeciesParams, state: SimState,
         state = split_particles(cfg, state, k2, split, axis_name)
     # Re-establish the dead-slot invariant p = w = 0 (core/state.py): merge/
     # remove flip live bits without clearing the arrays.
-    p = jnp.where(state.live, state.p, 0.0)
-    w = jnp.where(state.live, state.w, 0.0)
-    return SimState(x=state.x, v=state.v, p=p, w=w, live=state.live,
+    p = jnp.where(state.live, state.p, 0.0).astype(in_dtypes["p"])
+    w = jnp.where(state.live, state.w, 0.0).astype(in_dtypes["w"])
+    return SimState(x=state.x.astype(in_dtypes["x"]),
+                    v=state.v.astype(in_dtypes["v"]), p=p, w=w,
+                    live=state.live,
                     rho=state.rho, electric=state.electric,
                     mode_re=state.mode_re, mode_im=state.mode_im)

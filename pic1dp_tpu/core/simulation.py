@@ -270,8 +270,16 @@ class Simulation:
         fully_local = not force_sharded and all(
             getattr(getattr(self.state, f), "is_fully_addressable", True)
             for f in self._CK_FIELDS)
+        def to_np(a):
+            # npz cannot represent bfloat16 (it degrades to a raw void
+            # dtype); store such arrays widened to f32 — lossless — and
+            # restore re-quantizes per cfg.p_dtype
+            a = np.asarray(a)
+            return a.astype(np.float32) if a.dtype.kind == "V" or str(
+                a.dtype) == "bfloat16" else a
+
         if fully_local:
-            arrays = {f: np.asarray(getattr(self.state, f))
+            arrays = {f: to_np(getattr(self.state, f))
                       for f in self._CK_FIELDS}
         else:
             path = f"{path}.proc{jax.process_index()}.npz"
@@ -281,9 +289,9 @@ class Simulation:
                 if arr.ndim == 2:  # particle arrays: shard per offset
                     for sh in arr.addressable_shards:
                         start = sh.index[1].start or 0
-                        arrays[f"{f}@{start}"] = np.asarray(sh.data)
+                        arrays[f"{f}@{start}"] = to_np(sh.data)
                 else:              # replicated field arrays
-                    arrays[f] = np.asarray(arr.addressable_shards[0].data)
+                    arrays[f] = to_np(arr.addressable_shards[0].data)
         fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path) or ".",
                                    suffix=".npz.tmp")
         with os.fdopen(fd, "wb") as fh:
@@ -338,7 +346,8 @@ class Simulation:
             else:
                 state = SimState(
                     x=jnp.asarray(ck["x"]), v=jnp.asarray(ck["v"]),
-                    p=jnp.asarray(ck["p"]), w=jnp.asarray(ck["w"]),
+                    p=jnp.asarray(ck["p"], jnp.dtype(self.cfg.p_dtype)),
+                    w=jnp.asarray(ck["w"]),
                     live=jnp.asarray(ck["live"]), rho=jnp.asarray(ck["rho"]),
                     electric=jnp.asarray(ck["electric"]),
                     mode_re=jnp.asarray(ck["mode_re"]),
@@ -380,10 +389,14 @@ class Simulation:
             spec = getattr(specs, f)
             sharding = NamedSharding(self.mesh, spec)
             shape = getattr(shapes, f)
+            # p may be stored reduced-precision in the live state; the
+            # checkpoint holds it widened to f32 (see save_checkpoint)
+            dt = jnp.dtype(self.cfg.p_dtype) if f == "p" else None
             if len(shape) == 2:
-                def cb(index, f=f):
+                def cb(index, f=f, dt=dt):
                     start = index[1].start or 0
-                    return ck[f"{f}@{start}"]
+                    a = ck[f"{f}@{start}"]
+                    return a if dt is None else a.astype(dt)
             else:
                 def cb(index, f=f):
                     return ck[f][index]

@@ -73,7 +73,7 @@ class SimState:
         return cls(
             x=jnp.zeros((ns, n), dtype),
             v=jnp.zeros((ns, n), dtype),
-            p=jnp.zeros((ns, n), dtype),
+            p=jnp.zeros((ns, n), jnp.dtype(cfg.p_dtype)),
             w=jnp.zeros((ns, n), dtype),
             live=jnp.zeros((ns, n), bool),
             rho=jnp.zeros((cfg.nx,), dtype),

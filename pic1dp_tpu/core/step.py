@@ -66,9 +66,12 @@ class Stepper:
         # resolve DepositMethod.AUTO: fused Pallas on a TPU backend when the
         # config is eligible, pure-XLA one-hot everywhere else
         self.deposit_method = cfg.deposit_method
+        # fused-kernel capacity granularity: 1024 (f32 streams), 2048 when
+        # bf16_weights adds (16, 128)-tiled bf16 streams
+        self._pallas_align = 2048 if cfg.p_dtype != cfg.dtype else 1024
         if self.deposit_method == DepositMethod.AUTO:
             eligible = (cfg.shape == ParticleShape.MATRIX_FREE
-                        and cfg.nparticle_max % 1024 == 0)
+                        and cfg.nparticle_max % self._pallas_align == 0)
             if eligible and jax.default_backend() == "tpu":
                 self.deposit_method = DepositMethod.PALLAS
             elif jax.default_backend() == "tpu" and cfg.nx >= 2048:
@@ -240,10 +243,11 @@ class Stepper:
         """One full RK2 step (two substeps), no particle optimization."""
         if self.cfg.shape == ParticleShape.MATRIX_FREE:
             # The fused kernel needs the PER-TRACE particle length (the
-            # per-device shard under shard_map) 1024-aligned; fall back to
-            # the XLA spectral path otherwise instead of crashing.
+            # per-device shard under shard_map) 1024-aligned (2048 with
+            # bf16_weights); fall back to the XLA spectral path otherwise
+            # instead of crashing.
             if (self.deposit_method == DepositMethod.PALLAS
-                    and state.x.shape[-1] % 1024 == 0):
+                    and state.x.shape[-1] % self._pallas_align == 0):
                 return self._step_spectral_pallas(state)
             return self._step_spectral(state)
         return self._step_grid(state)

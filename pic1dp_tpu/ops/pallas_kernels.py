@@ -74,13 +74,14 @@ class _ScalarSpecies:
         self.v0 = sc.v0
 
 
-def _largest_divisor(n: int, limit: int) -> int:
-    """Largest divisor of n that is a multiple of 8 (f32 sublane tile) and
-    <= limit; n itself must be a multiple of 8."""
-    for r in range(min(n, limit) // 8 * 8, 0, -8):
+def _largest_divisor(n: int, limit: int, mult: int = 8) -> int:
+    """Largest divisor of n that is a multiple of `mult` (8 = f32 sublane
+    tile; 16 when any bf16 stream is present, the bf16 tile being (16, 128))
+    and <= limit; n itself must be a multiple of `mult`."""
+    for r in range(min(n, limit) // mult * mult, 0, -mult):
         if n % r == 0:
             return r
-    return 8
+    return mult
 
 
 def _fast_wrap(x, lx: float):
@@ -253,10 +254,18 @@ def make_substep_call(cfg: Config, s: int, substep: int, n: int, *,
             "(round the capacity up; nparticle_init may stay as is)")
     if substep not in (1, 2):
         raise ValueError(f"substep must be 1 or 2, got {substep}")
-    nrows = n // 128
-    rows = _largest_divisor(nrows, max_rows)
-    nblocks = nrows // rows
     dtype = jnp.dtype(cfg.dtype)
+    # cfg.bf16_weights: p is stored and w1 streamed at `aux` (bfloat16);
+    # all in-kernel arithmetic stays at `dtype` (f32) via register upcasts
+    aux = jnp.dtype(cfg.p_dtype)
+    reduced = aux != dtype
+    if reduced and n % 2048:
+        raise ValueError(
+            f"bf16_weights pallas path needs the per-device particle "
+            f"capacity % 2048 == 0 (bf16 tile is (16, 128)), got {n}")
+    nrows = n // 128
+    rows = _largest_divisor(nrows, max_rows, 16 if reduced else 8)
+    nblocks = nrows // rows
     nmode = len(cfg.modes)
     sp = _ScalarSpecies(cfg, s)
     vma = frozenset() if axis_name is None else frozenset({axis_name})
@@ -303,7 +312,7 @@ def make_substep_call(cfg: Config, s: int, substep: int, n: int, *,
 
         x0 = x_ref[:]
         v0 = v_ref[:]
-        p = p_ref[:]
+        p = p_ref[:].astype(dtype)   # upcast the (possibly bf16) p stream
         w0 = w_ref[:]
 
         if substep == 1:
@@ -311,7 +320,10 @@ def make_substep_call(cfg: Config, s: int, substep: int, n: int, *,
             e_p0, _ = gather_e(x0, scal[0], scal[1])
             x_new, _, w_new = push(x0, v0, p, w0, v0, w0, e_p0, dt_half)
             if has_w:
-                out_refs[0][:] = w_new
+                # w1 is an intra-step stream (consumed only by substep 2's
+                # drive term), quantized to `aux` on store; the midpoint
+                # projections below use the full-precision w_new
+                out_refs[0][:] = w_new.astype(aux)
         else:
             # re-derive the midpoint positions/velocities in-register
             # (identical code + inputs as substep 1: bitwise-equal midpoint);
@@ -323,7 +335,7 @@ def make_substep_call(cfg: Config, s: int, substep: int, n: int, *,
             else:
                 v1 = v0
             x1 = _fast_wrap(x0 + dt_half * v0, cfg.lx)
-            w1 = w1_ref[:] if has_w else w0
+            w1 = w1_ref[:].astype(dtype) if has_w else w0
             e_p1, _ = gather_e(x1, scal[-2], scal[-1])
             x_new, v_new, w_new = push(x0, v0, p, w0, v1, w1, e_p1, cfg.dt)
             out_i = 0
@@ -361,7 +373,12 @@ def make_substep_call(cfg: Config, s: int, substep: int, n: int, *,
                           memory_space=pltpu.VMEM)
     mblock = pl.BlockSpec((1, nmode), lambda b: (0, 0),
                           memory_space=pltpu.SMEM)
-    pout = jax.ShapeDtypeStruct((nrows, 128), dtype, vma=vma)
+    # per-stream dtypes: substep 1's sole particle output is the aux-typed
+    # w1; substep 2's outputs (persistent state) stay full precision
+    out_dtypes = ([aux] if substep == 1 and has_w
+                  else [dtype] * n_out)
+    in_dtypes = [dtype, dtype, aux, dtype] \
+        + ([aux] if (substep == 2 and has_w) else [])
     grid_spec = pl.GridSpec(
         grid=(nblocks,),
         in_specs=[pblock] * n_pin + [mblock] * n_scal,
@@ -374,13 +391,16 @@ def make_substep_call(cfg: Config, s: int, substep: int, n: int, *,
         grid_spec=grid_spec,
         # under shard_map every output varies across the particle mesh axis
         # (the proj partials are psum'd by the caller)
-        out_shape=tuple([pout] * n_out
+        out_shape=tuple([jax.ShapeDtypeStruct((nrows, 128), d, vma=vma)
+                         for d in out_dtypes]
                         + [jax.ShapeDtypeStruct((2 * nmode, 8, 128), dtype,
                                                 vma=vma)]),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=n * (30 + 30 * nmode) * substep,
-            bytes_accessed=(n_pin + n_out + 1) * n * dtype.itemsize,
+            bytes_accessed=n * sum(d.itemsize
+                                   for d in in_dtypes + out_dtypes)
+            + n * dtype.itemsize,  # projection accumulator tile traffic
             transcendentals=n * (2 * nmode + 1) * substep,
         ),
     )

@@ -152,3 +152,25 @@ def test_remove_zero_profile_is_noop():
     assert np.all(np.isfinite(np.asarray(out.p)))
     np.testing.assert_array_equal(np.asarray(out.p), np.asarray(state.p))
     np.testing.assert_array_equal(np.asarray(out.live), np.asarray(state.live))
+
+
+def test_optimizations_preserve_bf16_p_dtype():
+    """apply_optimizations upcasts the reduced-precision p for the merge/
+    remove/split arithmetic and re-quantizes once at the end — the state
+    dtype (and so the jitted step's signature) must survive a scheduled
+    optimization unchanged."""
+    cfg = landau_damping(nx=32, nparticle=8192, amp=1e-2, dtype="float32",
+                         verbosity=0)
+    cfg = dataclasses.replace(cfg, bf16_weights=True)
+    st = Stepper(cfg)
+    state = st.initial_field(load_particles(cfg, jax.random.PRNGKey(3)))
+    for _ in range(5):
+        state = st.step(state)
+    out = st.apply_optimizations(state, jax.random.PRNGKey(4),
+                                 merge=0.5, remove=0.3, split=2.0)
+    assert str(out.p.dtype) == "bfloat16"
+    assert str(out.w.dtype) == "float32"
+    # dead-slot invariant survives the round trip
+    dead = ~np.asarray(out.live)
+    assert np.all(np.asarray(out.p, np.float64)[dead] == 0.0)
+    assert np.all(np.asarray(out.w)[dead] == 0.0)

@@ -171,6 +171,63 @@ def test_pallas_bump_on_tail_degenerate_density():
                                    err_msg=f"density={density}")
 
 
+def test_bf16_weights_matches_f32():
+    """cfg.bf16_weights quantizes ONLY the p storage and the intra-step w1
+    stream (docs/performance.md error budget): after one step x must be
+    bitwise-identical to the f32 run (the position update never touches p or
+    w1), v agrees to field-perturbation level, and w within the ~0.4%/step
+    quantization budget.  Dtypes: p bfloat16, everything else f32."""
+    from pic1dp_tpu.config import DepositMethod
+
+    cfg = bump_on_tail_default(nx=192, nparticle_max=4096, dtype="float32",
+                               deposit_method=DepositMethod.PALLAS,
+                               verbosity=0)
+    cfg_b = dataclasses.replace(cfg, bf16_weights=True)
+    st, st_b = Stepper(cfg), Stepper(cfg_b)
+    state = st.initial_field(load_particles(cfg, jax.random.PRNGKey(11)))
+    state_b = st_b.initial_field(load_particles(cfg_b, jax.random.PRNGKey(11)))
+    assert str(state_b.p.dtype) == "bfloat16"
+    assert str(state_b.w.dtype) == "float32"
+    # identical markers modulo the p quantization
+    np.testing.assert_array_equal(np.asarray(state_b.x), np.asarray(state.x))
+    np.testing.assert_allclose(
+        np.asarray(state_b.p, np.float64), np.asarray(state.p, np.float64),
+        rtol=5e-3)
+
+    a, b = st.step(state), st_b.step(state_b)
+    assert str(b.p.dtype) == "bfloat16" and str(b.w.dtype) == "float32"
+    np.testing.assert_array_equal(np.asarray(b.x), np.asarray(a.x))
+    np.testing.assert_allclose(np.asarray(b.v), np.asarray(a.v),
+                               rtol=0, atol=1e-5)
+    for _ in range(2):
+        a, b = st.step(a), st_b.step(b)
+    scale = np.max(np.abs(np.asarray(a.w))) + 1e-30
+    np.testing.assert_allclose(np.asarray(b.w) / scale,
+                               np.asarray(a.w) / scale, rtol=0, atol=2e-2)
+    scale = np.max(np.abs(np.asarray(a.mode_re))) + 1e-30
+    np.testing.assert_allclose(np.asarray(b.mode_re) / scale,
+                               np.asarray(a.mode_re) / scale,
+                               rtol=0, atol=2e-2)
+
+
+def test_bf16_weights_xla_fallback_matches():
+    """Capacities that miss the 2048 granularity fall back to the XLA
+    spectral path, which reads the bf16 p through ordinary promotion — the
+    run must still work and stay close to its f32 twin."""
+    cfg = bump_on_tail_default(nx=64, nparticle_max=3072, dtype="float32",
+                               verbosity=0)
+    cfg_b = dataclasses.replace(cfg, bf16_weights=True)
+    st, st_b = Stepper(cfg), Stepper(cfg_b)
+    state = st.initial_field(load_particles(cfg, jax.random.PRNGKey(13)))
+    state_b = st_b.initial_field(load_particles(cfg_b, jax.random.PRNGKey(13)))
+    a, b = st.step(state), st_b.step(state_b)
+    assert str(b.p.dtype) == "bfloat16"
+    np.testing.assert_array_equal(np.asarray(b.x), np.asarray(a.x))
+    scale = np.max(np.abs(np.asarray(a.w))) + 1e-30
+    np.testing.assert_allclose(np.asarray(b.w) / scale,
+                               np.asarray(a.w) / scale, rtol=0, atol=1e-2)
+
+
 def test_twolevel_stepper_matches_spectral():
     """A MATRIX_FREE run forced onto the TWOLEVEL grid-deposit/gather pair
     agrees with the spectral hot path to f64 roundoff — the factorized

@@ -14,6 +14,7 @@ plotting tools can consume them; `-vis` shows a quick contour/line plot.
 from __future__ import annotations
 
 import argparse
+import os
 
 import numpy as np
 
@@ -31,21 +32,27 @@ def main(argv=None) -> None:
     ap.add_argument("-d", metavar="<distribution index>", type=int, default=2,
                     help="0 marker g, 1 total f, 2 perturbed delta f")
     ap.add_argument("-vis", action="store_true", help="show a quick plot")
+    ap.add_argument("-o", "--outdir", metavar="<output directory>", type=str,
+                    default=".", help="directory for the .dat files "
+                    "(default: current directory, as the reference tool)")
     args = ap.parse_args(argv)
 
     data = OutputData(args.data_path, verbose=True)
     itime = args.t if args.t >= 0 else data.ntime + args.t
 
+    def _out(name: str) -> str:
+        return os.path.join(args.outdir, name)
+
     if args.xv == 0:
         dist = data.get_ptcldist_xv(itime, args.s, args.d)
-        np.savetxt("ptcldist_xv_x.dat", data.x_pd)
-        np.savetxt("ptcldist_xv_v.dat", data.v_pd)
-        np.savetxt("ptcldist_xv.dat", dist)
+        np.savetxt(_out("ptcldist_xv_x.dat"), data.x_pd)
+        np.savetxt(_out("ptcldist_xv_v.dat"), data.v_pd)
+        np.savetxt(_out("ptcldist_xv.dat"), dist)
         print("written: ptcldist_xv.dat, ptcldist_xv_x.dat, ptcldist_xv_v.dat")
     else:
         dist = data.get_ptcldist_v(itime, args.s, args.d)
-        np.savetxt("ptcldist_v_v.dat", data.v_pd)
-        np.savetxt("ptcldist_v.dat", dist)
+        np.savetxt(_out("ptcldist_v_v.dat"), data.v_pd)
+        np.savetxt(_out("ptcldist_v.dat"), dist)
         print("written: ptcldist_v.dat, ptcldist_v_v.dat")
 
     if args.vis:

@@ -119,13 +119,19 @@ def mode_trig(x, lx, nx: int, modes: tuple[int, ...]):
     Returns (w0, w1, [(c0, s0, c1, s1)] per mode); all arrays shaped like x.
     """
     ix0, w0, w1 = _hat_fracs(x, lx, nx)
+    # Every scalar constant below is typed to x.dtype: a bare np.float64
+    # scalar would silently promote the whole f32 trig chain (and thus e_p
+    # and w) to f64 under jax_enable_x64, so the "f32 path" tested on CPU
+    # would not be the f32 path that runs on TPU.  The constants themselves
+    # are computed in f64 first for accuracy, then narrowed.
+    scalar = np.dtype(x.dtype).type
     out = []
     for m in modes:
         step = 2.0 * np.pi * m / nx
-        theta0 = ix0 * np.float32(step) if x.dtype == jnp.float32 else ix0 * step
+        theta0 = ix0 * scalar(step)
         c0 = jnp.cos(theta0)
         s0 = jnp.sin(theta0)
-        cd, sd = np.cos(step), np.sin(step)
+        cd, sd = scalar(np.cos(step)), scalar(np.sin(step))
         c1 = c0 * cd - s0 * sd
         s1 = s0 * cd + c0 * sd
         out.append((c0, s0, c1, s1))

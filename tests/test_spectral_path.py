@@ -228,6 +228,29 @@ def test_bf16_weights_xla_fallback_matches():
                                np.asarray(a.w) / scale, rtol=0, atol=1e-2)
 
 
+def test_f32_config_stays_f32_under_x64():
+    """TPU-equivalence guarantee: with jax_enable_x64 on (the CPU test
+    environment), a dtype=float32 config must produce float32 state through
+    the XLA spectral path — otherwise the "f32 path" tested on CPU is not
+    the f32 path that runs on TPU (the reference's PetscReal is a single
+    global kind, src/pic1dp_global.F90:28-31; ours must be just as airtight).
+    Guards against np.float64 scalar constants promoting a jitted chain
+    (the round-1 mode_trig bug)."""
+    assert jax.config.jax_enable_x64
+    cfg = bump_on_tail_default(nx=192, nparticle_max=4096, dtype="float32",
+                               verbosity=0)
+    st = Stepper(cfg)
+    state = st.initial_field(load_particles(cfg, jax.random.PRNGKey(17)))
+    for _ in range(2):
+        state = st.step(state)
+    for field in ("x", "v", "p", "w", "mode_re", "mode_im", "electric", "rho"):
+        assert str(getattr(state, field).dtype) == "float32", field
+    # the fused push pair (used by the scheduled-optimization path) too
+    out = jax.jit(st.push_pair)(state)
+    for field in ("x", "v", "p", "w"):
+        assert str(getattr(out, field).dtype) == "float32", field
+
+
 def test_twolevel_stepper_matches_spectral():
     """A MATRIX_FREE run forced onto the TWOLEVEL grid-deposit/gather pair
     agrees with the spectral hot path to f64 roundoff — the factorized

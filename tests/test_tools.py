@@ -6,9 +6,10 @@ import os
 import subprocess
 import sys
 
+# Subprocesses run `-m pic1dp_tpu...` with cwd=_REPO so the package resolves
+# from sys.path[0]; PYTHONPATH must never be set (it breaks axon plugin
+# discovery — CLAUDE.md).
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-_ENV = {**os.environ,
-        "PYTHONPATH": _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")}
 
 import jax
 import numpy as np
@@ -63,7 +64,7 @@ def test_runinfo_cli(small_run):
     res = subprocess.run(
         [sys.executable, "-m", "pic1dp_tpu.analysis.runinfo",
          "-gr", "0", "2", "-sr", "0", "2", out, out],
-        capture_output=True, text=True, timeout=300, env=_ENV)
+        capture_output=True, text=True, timeout=300, cwd=_REPO)
     assert res.returncode == 0, res.stderr
     assert "growth rate" in res.stdout
     assert "saturation level" in res.stdout
@@ -74,8 +75,8 @@ def test_ptcldist_cli(small_run, tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     res = subprocess.run(
         [sys.executable, "-m", "pic1dp_tpu.analysis.ptcldist", out,
-         "-t", "0", "-d", "0"],
-        capture_output=True, text=True, timeout=300, cwd=tmp_path, env=_ENV)
+         "-t", "0", "-d", "0", "-o", str(tmp_path)],
+        capture_output=True, text=True, timeout=300, cwd=_REPO)
     assert res.returncode == 0, res.stderr
     arr = np.loadtxt(tmp_path / "ptcldist_xv.dat")
     assert arr.shape == (16, 17)
@@ -86,7 +87,7 @@ def test_run_cli_write_config(tmp_path):
     res = subprocess.run(
         [sys.executable, "-m", "pic1dp_tpu.run", "-p", "landau",
          "-s", "nx=16", "--write-config", str(cfg_file)],
-        capture_output=True, text=True, timeout=300, env=_ENV)
+        capture_output=True, text=True, timeout=300, cwd=_REPO)
     assert res.returncode == 0, res.stderr
     from pic1dp_tpu.config import Config
 

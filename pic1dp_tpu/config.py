@@ -273,6 +273,15 @@ class Config:
             raise ValueError("bf16_weights requires dtype float32 "
                              "(it is a traffic optimization of the f32 hot "
                              "path; f64 runs want full-precision weights)")
+        if self.bf16_weights and not self.deltaf:
+            # the measured error budget (PHYSICS_r02.json: gamma shift
+            # ~0.002 pp on the PRE 83 case) holds for delta-f, where p and
+            # w1 only enter the drive; in full-f, p IS the deposited charge
+            # and with PHYSICAL loading all p are equal, so bf16 rounding
+            # becomes a systematic density bias instead of loading noise
+            raise ValueError("bf16_weights requires deltaf=True (the "
+                             "reduced-precision error budget is only "
+                             "established for delta-f weights)")
         if self.output_interval < 2 * self.dt:
             raise ValueError("output_interval must be at least 2*dt "
                              "(reference src/pic1dp_input.F90:248-250)")

@@ -45,18 +45,20 @@ class Simulation:
         self.checkpoint_interval = checkpoint_interval
         self.checkpoint_path = checkpoint_path or "."
         self._last_checkpoint_time = 0.0
+        self.timers = PhaseTimers()
         self.mesh = None
-        if mesh is not None:
-            from pic1dp_tpu.parallel import mesh as pmesh
+        with self.timers.phase("initialize"):
+            if mesh is not None:
+                from pic1dp_tpu.parallel import mesh as pmesh
 
-            self.mesh = pmesh.make_mesh(mesh) if isinstance(mesh, int) else mesh
-            self.stepper = pmesh.ShardedStepper(cfg, self.mesh)
-        else:
-            self.stepper = Stepper(cfg)
+                self.mesh = pmesh.make_mesh(mesh) if isinstance(mesh, int) \
+                    else mesh
+                self.stepper = pmesh.ShardedStepper(cfg, self.mesh)
+            else:
+                self.stepper = Stepper(cfg)
         self._is_io_process = jax.process_index() == 0
         self.pertb_shape = pertb_shape
         self.emulate_ranks = emulate_ranks
-        self.timers = PhaseTimers()
         self.writer = SnapshotWriter(cfg, out_path) \
             if out_path is not None and jax.process_index() == 0 else None
         self.state: SimState | None = None
@@ -126,17 +128,23 @@ class Simulation:
         if merge is None and remove is None and split is None:
             self.state = self.stepper.step(self.state)
         else:
-            state = self.stepper.push_pair(self.state)
+            # sub-phase timers nest inside run()'s "step" phase, mirroring
+            # the reference's overlapping wtimer slots (push/optimize/collect
+            # inside total, src/pic1dp_global.F90:38-50)
+            with self.timers.phase("step: push pair"):
+                state = self.stepper.push_pair(self.state)
             self.key, sub = jax.random.split(self.key)
-            state = self.stepper.apply_optimizations(
-                state, sub, merge=merge, remove=remove, split=split)
+            with self.timers.phase("optimize particle"):
+                state = self.stepper.apply_optimizations(
+                    state, sub, merge=merge, remove=remove, split=split)
             if merge is not None:
                 self._imerge += 1
             if remove is not None:
                 self._iremove += 1
             if split is not None:
                 self._isplit += 1
-            self.state = self.stepper.collect_and_solve(state)
+            with self.timers.phase("step: collect + solve"):
+                self.state = self.stepper.collect_and_solve(state)
             if self.cfg.verbosity >= 1:
                 n = int(np.sum(np.asarray(self.state.nparticles())))
                 self._print(f"optimization performed, current # of particles {n}")
@@ -243,6 +251,34 @@ class Simulation:
             self.writer.close()
         if self.cfg.verbosity >= 1:
             self._print(self.timers.report())
+
+    def phase_table(self, steps: int = 10) -> str:
+        """Instrumented per-phase step decomposition (push / shape+gather /
+        collect / field solve / fused kernels), measured on the current state
+        with the scan-slope method — the reference's wtimer granularity
+        (src/pic1dp_output.F90:576-627) that plain whole-step timing cannot
+        give under jit.  Costs extra compiles; run it once after (or instead
+        of) a run via `python -m pic1dp_tpu.run --phase-table`."""
+        from pic1dp_tpu.config import ParticleShape
+        from pic1dp_tpu.utils.phase_split import (format_phase_table,
+                                                  measure_phase_split)
+
+        if self.state is None:
+            self.load()
+        if self.cfg.shape != ParticleShape.MATRIX_FREE:
+            return ("Info: phase table requires the MATRIX_FREE shape "
+                    "(the production hot path)")
+        if self.mesh is not None:
+            # per-device phase loops would need their own shard_map plumbing;
+            # measure the single-device decomposition on a replica instead
+            stepper = Stepper(self.cfg)
+            state = jax.tree.map(
+                lambda a: jax.device_put(np.asarray(a), jax.devices()[0]),
+                self.state)
+            return format_phase_table(
+                measure_phase_split(stepper, state, steps))
+        return format_phase_table(
+            measure_phase_split(self.stepper, self.state, steps))
 
     # ---- checkpoint / resume (no reference equivalent: the reference
     # restarts from t = 0 on any failure, SURVEY.md section 5) ----

@@ -246,11 +246,33 @@ class Stepper:
             # per-device shard under shard_map) 1024-aligned (2048 with
             # bf16_weights); fall back to the XLA spectral path otherwise
             # instead of crashing.
-            if (self.deposit_method == DepositMethod.PALLAS
-                    and state.x.shape[-1] % self._pallas_align == 0):
-                return self._step_spectral_pallas(state)
+            if self.deposit_method == DepositMethod.PALLAS:
+                if state.x.shape[-1] % self._pallas_align == 0:
+                    return self._step_spectral_pallas(state)
+                self._warn_pallas_fallback(state.x.shape[-1])
             return self._step_spectral(state)
         return self._step_grid(state)
+
+    def _warn_pallas_fallback(self, length: int) -> None:
+        """One-time trace-time notice: the Pallas path was requested (or
+        AUTO-resolved) but this trace's per-device particle length misses the
+        capacity granularity, so the run silently takes the XLA spectral
+        path — in particular, bf16_weights' intra-step w1 quantization (and
+        its traffic saving) is inactive, and the same config can produce
+        slightly different physics depending on per-shard alignment."""
+        if getattr(self, "_pallas_fallback_warned", False):
+            return
+        self._pallas_fallback_warned = True
+        import warnings
+
+        extra = ("; bf16_weights' w1-stream quantization is inactive on "
+                 "this path" if self.cfg.p_dtype != self.cfg.dtype else "")
+        warnings.warn(
+            f"Pallas step requested but the per-trace particle length "
+            f"{length} is not a multiple of {self._pallas_align}; falling "
+            f"back to the XLA spectral path{extra}. Pad nparticle_max (per "
+            f"device) to a multiple of {self._pallas_align} to enable the "
+            f"fused kernels.", RuntimeWarning, stacklevel=3)
 
     def _step_spectral_pallas(self, state: SimState) -> SimState:
         """Matrix-free RK2 step with both substeps as fused Pallas kernels

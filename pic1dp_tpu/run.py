@@ -73,6 +73,10 @@ def main(argv=None) -> int:
                     "(pod slices; parallel/launch.py)")
     ap.add_argument("--profile", metavar="<trace dir>", default=None,
                     help="capture a jax.profiler trace of the run")
+    ap.add_argument("--phase-table", action="store_true",
+                    help="after the run, print the instrumented per-phase "
+                    "step decomposition (reference wtimer granularity; "
+                    "costs extra compiles)")
     ap.add_argument("--emulate-ranks", type=int, default=1, metavar="<npe>",
                     help="with -s rng='{\"backend\": \"multirand\"}': load "
                     "markers in the draw order of an npe-rank reference run")
@@ -117,6 +121,8 @@ def main(argv=None) -> int:
         print(f"profiler trace written to {args.profile}")
     else:
         sim.run()
+    if args.phase_table:
+        print(sim.phase_table(), file=sys.stderr)
     return 0
 
 

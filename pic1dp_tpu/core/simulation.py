@@ -147,7 +147,18 @@ class Simulation:
                 self.state = self.stepper.collect_and_solve(state)
             if self.cfg.verbosity >= 1:
                 n = int(np.sum(np.asarray(self.state.nparticles())))
-                self._print(f"optimization performed, current # of particles {n}")
+                # reference output_progress(2), src/pic1dp_output.F90:528-532
+                # (level 1: progress-prefixed line) / :544-546 (level >= 2)
+                if self.cfg.verbosity == 1:
+                    tag, pct = self._progress_pct(
+                        self.itime + 1, self.time + self.cfg.dt)
+                    self._print(
+                        f"{tag}{pct:5.1f}% {self.itime + 1:7d} "
+                        f"{self.time + self.cfg.dt:9.3f} : optimization "
+                        f"performed, current # of particles {n}")
+                else:
+                    self._print("Info: particle_optimize performed, "
+                                f"current # of particles: {n}")
         self.itime += 1
         self.time += self.cfg.dt
 
@@ -226,9 +237,16 @@ class Simulation:
         events run as ONE jitted lax.scan (a single device dispatch per
         output interval); steps with scheduled particle optimization take
         the per-step path."""
+        if self.cfg.verbosity >= 1:
+            # reference src/pic1dp.F90:54-55
+            from pic1dp_tpu import __version__
+
+            self._print(f"pic1dp_tpu version {__version__}")
         if self.state is None:
             self.load()
-        if self.cfg.verbosity >= 1:
+        if self.cfg.verbosity == 1:
+            # header belongs to the compact format only (reference
+            # src/pic1dp_output.F90:524-526 vs :537)
             self._print("progress:\nprogrss  itime     time  int E^2 dx")
         snap = self.output_snapshot()  # t = 0 snapshot (reference :74)
         if snapshot_callback:
@@ -453,9 +471,34 @@ class Simulation:
     def _print(self, msg: str) -> None:
         print(msg, file=sys.stderr)
 
+    def _progress_pct(self, itime: int, time: float) -> tuple[str, float]:
+        pi = 100.0 * itime / self.cfg.ntime_max
+        pt = 100.0 * time / self.cfg.time_max
+        return ("i", pi) if pi >= pt else ("t", pt)
+
     def _print_progress(self, field_energy: float) -> None:
-        pi = 100.0 * self.itime / self.cfg.ntime_max
-        pt = 100.0 * self.time / self.cfg.time_max
-        tag, pct = ("i", pi) if pi >= pt else ("t", pt)
-        self._print(f"{tag}{pct:5.1f}% {self.itime:7d} {self.time:9.3f} "
-                    f"{field_energy:12.3e}")
+        """Reference output_progress levels (src/pic1dp_output.F90:483-548
+        and src/pic1dp_input.F90:240-246): 1 = compact percent line;
+        2 = per-event "finished itime" lines; 3 adds a diagnostic dump of
+        the snapshot's variables."""
+        if self.cfg.verbosity == 1:
+            tag, pct = self._progress_pct(self.itime, self.time)
+            self._print(f"{tag}{pct:5.1f}% {self.itime:7d} {self.time:9.3f} "
+                        f"{field_energy:12.3e}")
+        elif self.cfg.verbosity >= 2:
+            self._print(f"Info: finished itime = {self.itime:7d}, "
+                        f"time = {self.time:9.3f}")
+        if self.cfg.verbosity >= 3:
+            eng = jax.device_get(self.stepper.energies(self.state))
+            nlive = np.asarray(self.state.nparticles())
+            mre, mim = jax.device_get((self.state.mode_re,
+                                       self.state.mode_im))
+            self._print(
+                "Info: diagnostics: "
+                f"int E^2 dx = {float(eng.field):.6e}; "
+                f"marker KE = {np.array2string(np.asarray(eng.marker), precision=6)}; "
+                f"total KE = {np.array2string(np.asarray(eng.total), precision=6)}; "
+                f"pertb KE = {np.array2string(np.asarray(eng.pertb), precision=6)}; "
+                f"live markers = {nlive.tolist()}; "
+                f"mode_re = {np.array2string(mre, precision=6)}; "
+                f"mode_im = {np.array2string(mim, precision=6)}")

@@ -98,12 +98,12 @@ def main() -> None:
         deposit_chunk=int(os.environ.get("PIC1DP_BENCH_CHUNK", 65536)),
         modes=tuple(range(1, nmode + 1)),
         verbosity=0,
-        # bf16 p storage + w1 stream is the headline mode (13N -> 11N
-        # hot-loop floats): its on-chip gamma error budget passed at the
-        # ~0.002-percentage-point level (PHYSICS_r02.json, both the PRE 83
-        # bump-on-tail and the two-stream case).  PIC1DP_BENCH_BF16=0
-        # reverts to pure-f32 streams.
-        bf16_weights=bool(int(os.environ.get("PIC1DP_BENCH_BF16", "1"))),
+        # bf16 p/w1 streams: the on-chip gamma error budget PASSED
+        # (~0.002 pp shift, PHYSICS_r02.json) but the bf16 p stream costs
+        # +30% kernel time on this Mosaic version (docs/performance.md
+        # bisection), so the headline stays f32 + in-place aliasing.
+        # PIC1DP_BENCH_BF16=1 re-enables for error-budget runs.
+        bf16_weights=bool(int(os.environ.get("PIC1DP_BENCH_BF16", "0"))),
     )
     stepper = Stepper(cfg)
 
@@ -173,21 +173,37 @@ def main() -> None:
 
     op = SpectralOperator.create(nx, cfg.modes, cfg.lx, state.x.dtype)
     rho0 = jnp.asarray(state.rho)
-    solve_iters = 256
 
-    @jax.jit
-    def poisson_loop(rho):
-        def body(carry, _):
-            e, mre, _ = op.solve(rho + carry)
-            return 1e-30 * (e[0] + mre[0]), None  # serialize iterations
-        out, _ = jax.lax.scan(
-            body, jnp.zeros((), rho.dtype), None, length=solve_iters)
-        return out
+    def poisson_loop(iters):
+        @jax.jit
+        def run(rho):
+            def body(carry, _):
+                e, mre, _ = op.solve(rho + carry)
+                # jnp.sum serializes iterations AND consumes every element
+                # (an element pick would let XLA slice through the matmuls)
+                return 1e-30 * (jnp.sum(e) + mre[0]), None
+            out, _ = jax.lax.scan(
+                body, jnp.zeros((), rho.dtype), None, length=iters)
+            return out
+        return run
 
-    np.asarray(poisson_loop(rho0))
-    t0 = time.perf_counter()
-    np.asarray(poisson_loop(rho0))
-    solve_us = (time.perf_counter() - t0) / solve_iters * 1e6
+    # two-point slope (4k vs 12k iterations): subtracts the scan dispatch
+    # overhead that a single-loop timing folds in (VERDICT round 1 weak #8).
+    # The solve is sub-microsecond on-chip, so the iteration counts must be
+    # large enough for the 8k-iteration difference to clear tunnel noise.
+    la, lb = poisson_loop(4096), poisson_loop(12288)
+    np.asarray(la(rho0))
+    np.asarray(lb(rho0))
+    solve_us = 1e30
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(la(rho0))
+        t_a = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        np.asarray(lb(rho0))
+        t_b = time.perf_counter() - t0
+        solve_us = min(solve_us, (t_b - t_a) / 8192 * 1e6)
+    solve_us = max(solve_us, 0.0)
     log(f"deposition (attributed): {nnz_rate:.3e} nnz/s; Poisson solve "
         f"(rho->modes->E, nx={nx}, nmode={len(cfg.modes)}): "
         f"{solve_us:.1f} us/solve")

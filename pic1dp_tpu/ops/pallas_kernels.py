@@ -263,6 +263,19 @@ def make_substep_call(cfg: Config, s: int, substep: int, n: int, *,
         raise ValueError(
             f"bf16_weights pallas path needs the per-device particle "
             f"capacity % 2048 == 0 (bf16 tile is (16, 128)), got {n}")
+    # perf-bisection knob: PIC1DP_BF16_STREAMS selects which of the reduced
+    # streams actually run at bf16 ("p", "w1", "p,w1" (default), or "" for
+    # none); lets on-chip experiments isolate per-stream Mosaic costs
+    # without touching the config surface
+    import os
+
+    _sel = os.environ.get("PIC1DP_BF16_STREAMS")
+    if reduced and _sel is not None:
+        _names = set(filter(None, _sel.split(",")))
+        p_sd = aux if "p" in _names else dtype
+        w1_sd = aux if "w1" in _names else dtype
+    else:
+        p_sd = w1_sd = aux
     nrows = n // 128
     rows = _largest_divisor(nrows, max_rows, 16 if reduced else 8)
     nblocks = nrows // rows
@@ -321,9 +334,9 @@ def make_substep_call(cfg: Config, s: int, substep: int, n: int, *,
             x_new, _, w_new = push(x0, v0, p, w0, v0, w0, e_p0, dt_half)
             if has_w:
                 # w1 is an intra-step stream (consumed only by substep 2's
-                # drive term), quantized to `aux` on store; the midpoint
-                # projections below use the full-precision w_new
-                out_refs[0][:] = w_new.astype(aux)
+                # drive term), quantized to the stream dtype on store; the
+                # midpoint projections below use the full-precision w_new
+                out_refs[0][:] = w_new.astype(out_refs[0].dtype)
         else:
             # re-derive the midpoint positions/velocities in-register
             # (identical code + inputs as substep 1: bitwise-equal midpoint);
@@ -373,12 +386,12 @@ def make_substep_call(cfg: Config, s: int, substep: int, n: int, *,
                           memory_space=pltpu.VMEM)
     mblock = pl.BlockSpec((1, nmode), lambda b: (0, 0),
                           memory_space=pltpu.SMEM)
-    # per-stream dtypes: substep 1's sole particle output is the aux-typed
-    # w1; substep 2's outputs (persistent state) stay full precision
-    out_dtypes = ([aux] if substep == 1 and has_w
+    # per-stream dtypes: substep 1's sole particle output is the w1 stream;
+    # substep 2's outputs (persistent state) stay full precision
+    out_dtypes = ([w1_sd] if substep == 1 and has_w
                   else [dtype] * n_out)
-    in_dtypes = [dtype, dtype, aux, dtype] \
-        + ([aux] if (substep == 2 and has_w) else [])
+    in_dtypes = [dtype, dtype, p_sd, dtype] \
+        + ([w1_sd] if (substep == 2 and has_w) else [])
     grid_spec = pl.GridSpec(
         grid=(nblocks,),
         in_specs=[pblock] * n_pin + [mblock] * n_scal,
@@ -386,8 +399,23 @@ def make_substep_call(cfg: Config, s: int, substep: int, n: int, *,
                         + [pl.BlockSpec((2 * nmode, 8, 128), lambda b: (0, 0, 0),
                                         memory_space=pltpu.VMEM)]),
     )
+    # in-place state update: substep 2 writes x2/v2/w2 over the x0/v0/w0
+    # input buffers (same shape/dtype, block i written only after read), and
+    # substep 1 writes w1 over w0 when the dtypes match.  Saves HBM
+    # allocations and lets the DMA engine reuse just-read pages;
+    # PIC1DP_PALLAS_ALIAS=0 disables for A/B experiments.
+    # (substep 1 is NOT aliased: its only particle output w1 would clobber
+    # w0, which substep 2 still reads — XLA would copy, negating the gain)
+    aliases = {}
+    if substep == 2 and int(os.environ.get("PIC1DP_PALLAS_ALIAS", "1")):
+        aliases[0] = 0                     # x0 -> x2
+        if has_v:
+            aliases[1] = 1                 # v0 -> v2
+        if has_w:
+            aliases[3] = (2 if has_v else 1)   # w0 -> w2
     call = pl.pallas_call(
         kernel,
+        input_output_aliases=aliases,
         grid_spec=grid_spec,
         # under shard_map every output varies across the particle mesh axis
         # (the proj partials are psum'd by the caller)
@@ -407,6 +435,9 @@ def make_substep_call(cfg: Config, s: int, substep: int, n: int, *,
 
     def fn(*arrays):
         particle, modes_flat = arrays[:n_pin], arrays[n_pin:]
+        # coerce each stream to its declared dtype (no-op in production;
+        # the PIC1DP_BF16_STREAMS bisection knob may widen p / w1)
+        particle = [a.astype(d) for a, d in zip(particle, in_dtypes)]
         blocked = [a.reshape(nrows, 128) for a in particle]
         scal = [m.reshape(1, nmode).astype(dtype) for m in modes_flat]
         *pouts, proj3 = call(*blocked, *scal)

@@ -38,10 +38,12 @@ keeps the physics functions in distributions.py shared verbatim with the XLA
 paths.
 
 Particle blocks are (R, 128) tiles of the per-species (N/128, 128)-reshaped
-arrays; R is the largest divisor of N/128 up to `max_rows` (256 measured
-best on v5e for the full substep; 512 wins on stream-only microkernels but
-loses ~7% here).  Capacity N must be a multiple of 128 (pad nparticle_max;
-nparticle_init is unaffected).
+arrays; R is the largest divisor of N/128 up to `max_rows`.  With the
+in-place substep-2 aliasing, R=128 measures best on v5e (1.60-1.70 ms/step
+at 2^24 vs 1.80 at R=256, 2.3 at 512, 3.3 at 32 — smaller blocks overlap
+the in-place read/write DMA better, until grid overhead takes over).
+Capacity N must be a multiple of 128 (pad nparticle_max; nparticle_init is
+unaffected).
 """
 
 from __future__ import annotations
@@ -229,7 +231,7 @@ def _trig_block(x, lx, nx: int, modes, dtype):
 
 
 def make_substep_call(cfg: Config, s: int, substep: int, n: int, *,
-                      max_rows: int = 256, interpret: bool = False,
+                      max_rows: int = 128, interpret: bool = False,
                       axis_name: str | None = None):
     """Build the fused substep kernel for species `s`.
 
@@ -456,12 +458,13 @@ class FusedStepper:
     is what reaches the kernel, not the global capacity."""
 
     def __init__(self, cfg: Config, interpret: bool | None = None,
-                 axis_name: str | None = None):
+                 axis_name: str | None = None, max_rows: int = 128):
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
         self.cfg = cfg
         self.interpret = interpret
         self.axis_name = axis_name
+        self.max_rows = max_rows
         self.has_v = not cfg.linear
         self.has_w = cfg.deltaf
         self._subs: dict = {}
@@ -470,7 +473,7 @@ class FusedStepper:
         key = (substep, s, n)
         if key not in self._subs:
             self._subs[key] = make_substep_call(
-                self.cfg, s, substep, n,
+                self.cfg, s, substep, n, max_rows=self.max_rows,
                 interpret=self.interpret, axis_name=self.axis_name)
         return self._subs[key]
 

@@ -145,14 +145,15 @@ def main() -> None:
     log(f"slope of {steps}- vs {3 * steps}-step scans -> {rate:.3e} pushes/s "
         f"({elapsed / steps * 1e3:.2f} ms/step)")
 
-    # secondary: deposition nnz/s (2 nnz per marker per substep) and the
-    # Poisson solve in the reference's semantics — rho(x) -> kept modes ->
-    # E(x) via the partial-DFT matmul pair (src/pic1dp_field.F90:218-257) —
-    # timed inside one jitted 256-iteration loop so the remote-tunnel
-    # dispatch latency (~30 ms/call) is amortized away.
-    nnz_rate = 2.0 * pushes / elapsed
+    # secondary: deposition SpMV nnz/s MEASURED from the EXPLICIT-path pair
+    # (S^T val segment-sum deposit and the two-level one-hot gather S E,
+    # 2 nnz per marker — ops/shape_matrix.py; reference strategies 1-3,
+    # src/pic1dp_interaction.F90:46-78, :213-220), and the Poisson solve in
+    # the reference's semantics — rho(x) -> kept modes -> E(x) via the
+    # partial-DFT matmul pair (src/pic1dp_field.F90:218-257).  All timed by
+    # the two-point scan-slope method so the remote-tunnel dispatch latency
+    # (~30 ms/call) cancels.
     if not int(os.environ.get("PIC1DP_BENCH_SECONDARY", "1")):
-        log(f"deposition (attributed): {nnz_rate:.3e} nnz/s")
         print(json.dumps({
             "metric": "particles_pushed_per_sec_per_chip",
             "value": rate,
@@ -160,6 +161,64 @@ def main() -> None:
             "vs_baseline": rate / baseline,
         }))
         return
+
+    from pic1dp_tpu.ops.shape_matrix import ShapeMatrix
+
+    xs, vals = state.x[0], state.w[0]
+    sm0 = jax.jit(lambda x: ShapeMatrix.assemble(x, cfg.lx, cfg.nx))(xs)
+    grid0 = jnp.asarray(state.electric)
+    gmethod = "twolevel" if dev.platform != "cpu" else "take"
+
+    def spmv_slope(build, args, k):
+        fa, fb = build(k), build(3 * k)
+        np.asarray(fa(*args))
+        np.asarray(fb(*args))
+        best = 1e30
+        for _ in range(2):
+            t0 = time.perf_counter()
+            np.asarray(fa(*args))
+            ta = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            np.asarray(fb(*args))
+            tb = time.perf_counter() - t0
+            best = min(best, (tb - ta) / (2 * k))
+        return max(best, 1e-30)
+
+    def deposit_loop(iters):
+        @jax.jit
+        def run(ix0, ix1, w0, w1, val):
+            sm = ShapeMatrix(ix0, ix1, w0, w1, cfg.nx)
+
+            def body(c, _):
+                g = sm.deposit(val + c)
+                return 1e-30 * jnp.sum(g), None
+            out, _ = jax.lax.scan(body, jnp.zeros((), val.dtype), None,
+                                  length=iters)
+            return out
+        return run
+
+    def gather_loop(iters):
+        @jax.jit
+        def run(ix0, ix1, w0, w1, grid):
+            sm = ShapeMatrix(ix0, ix1, w0, w1, cfg.nx)
+
+            def body(c, _):
+                e_p = sm.gather(grid + c, method=gmethod,
+                                chunk=cfg.deposit_chunk)
+                return 1e-30 * jnp.sum(e_p), None
+            out, _ = jax.lax.scan(body, jnp.zeros((), grid.dtype), None,
+                                  length=iters)
+            return out
+        return run
+
+    k_spmv = int(os.environ.get("PIC1DP_BENCH_SPMV_ITERS", 2))
+    coo = (sm0.ix0, sm0.ix1, sm0.w0, sm0.w1)
+    dep_s = spmv_slope(deposit_loop, coo + (vals,), k_spmv)
+    gat_s = spmv_slope(gather_loop, coo + (grid0,), k_spmv)
+    nnz = 2.0 * xs.size
+    log(f"EXPLICIT-path SpMV (measured, nx={nx}): deposit S^T w "
+        f"{nnz / dep_s:.3e} nnz/s ({dep_s * 1e3:.1f} ms), gather S E "
+        f"({gmethod}) {nnz / gat_s:.3e} nnz/s ({gat_s * 1e3:.1f} ms)")
 
     # wtimer-parity per-phase decomposition (reference
     # src/pic1dp_output.F90:576-627), PIC1DP_BENCH_PHASES=1
@@ -204,8 +263,7 @@ def main() -> None:
         t_b = time.perf_counter() - t0
         solve_us = min(solve_us, (t_b - t_a) / 8192 * 1e6)
     solve_us = max(solve_us, 0.0)
-    log(f"deposition (attributed): {nnz_rate:.3e} nnz/s; Poisson solve "
-        f"(rho->modes->E, nx={nx}, nmode={len(cfg.modes)}): "
+    log(f"Poisson solve (rho->modes->E, nx={nx}, nmode={len(cfg.modes)}): "
         f"{solve_us:.1f} us/solve")
     log(f"field energy sanity: {float(jnp.sum(state.electric**2)):.3e}")
 

@@ -177,15 +177,21 @@ class Simulation:
             # remote-tunnel backend each fetch costs ~10 ms of latency, and
             # a snapshot is ~10 arrays (the reference's analogue is its
             # single rank-0 binary write, src/pic1dp_output.F90:173-187)
-            eng, ptcl, mode_re, mode_im, electric, rho = jax.device_get(
-                (eng, ptcl, self.state.mode_re, self.state.mode_im,
-                 self.state.electric, rho))
+            fetch = (eng, ptcl, self.state.mode_re, self.state.mode_im,
+                     self.state.electric, rho)
+            if self.cfg.verbosity >= 3:  # one batched fetch (see below)
+                fetch += (self.state.nparticles(),)
+            fetched = jax.device_get(fetch)
+            eng, ptcl, mode_re, mode_im, electric, rho = fetched[:6]
+            nlive = fetched[6] if self.cfg.verbosity >= 3 else None
             if self.writer is not None:
                 self.writer.write_snapshot(
                     self.time, eng, mode_re, mode_im, electric, rho, ptcl,
                 )
         if self.cfg.verbosity >= 1:
-            self._print_progress(float(eng.field))
+            # pass the already-fetched snapshot values through: every extra
+            # device_get costs ~10 ms of latency over the axon tunnel
+            self._print_progress(eng, mode_re, mode_im, nlive)
         if not np.isfinite(eng.field):
             # failure detection the reference lacks (SURVEY.md section 5):
             # blow-ups surface as a hard error at the next snapshot instead
@@ -286,15 +292,14 @@ class Simulation:
         if self.cfg.shape != ParticleShape.MATRIX_FREE:
             return ("Info: phase table requires the MATRIX_FREE shape "
                     "(the production hot path)")
-        if self.mesh is not None:
-            # per-device phase loops would need their own shard_map plumbing;
-            # measure the single-device decomposition on a replica instead
-            stepper = Stepper(self.cfg)
-            state = jax.tree.map(
-                lambda a: jax.device_put(np.asarray(a), jax.devices()[0]),
-                self.state)
-            return format_phase_table(
-                measure_phase_split(stepper, state, steps))
+        if jax.process_count() > 1:
+            # the scan-slope host fetches need fully-addressable state
+            return ("Info: phase table is not supported under multi-process "
+                    "runs (the timing loops fetch to one host); run it on a "
+                    "single-process mesh")
+        # under a mesh the phase loops run shard_mapped on it with the
+        # production shardings and psums — the table measures the actual
+        # sharded step (measure_phase_split detects ShardedStepper)
         return format_phase_table(
             measure_phase_split(self.stepper, self.state, steps))
 
@@ -469,36 +474,36 @@ class Simulation:
     # ---- logging (reference output_progress, src/pic1dp_output.F90:483-548) ----
 
     def _print(self, msg: str) -> None:
-        print(msg, file=sys.stderr)
+        # reference global_pp prints once from rank 0
+        # (src/pic1dp_global.F90:71-90); same gating for multi-process runs
+        if self._is_io_process:
+            print(msg, file=sys.stderr)
 
     def _progress_pct(self, itime: int, time: float) -> tuple[str, float]:
         pi = 100.0 * itime / self.cfg.ntime_max
         pt = 100.0 * time / self.cfg.time_max
         return ("i", pi) if pi >= pt else ("t", pt)
 
-    def _print_progress(self, field_energy: float) -> None:
+    def _print_progress(self, eng, mode_re, mode_im, nlive=None) -> None:
         """Reference output_progress levels (src/pic1dp_output.F90:483-548
         and src/pic1dp_input.F90:240-246): 1 = compact percent line;
         2 = per-event "finished itime" lines; 3 adds a diagnostic dump of
-        the snapshot's variables."""
+        the snapshot's variables.  All arguments are host values already
+        fetched by output_snapshot — no extra device round trips."""
         if self.cfg.verbosity == 1:
             tag, pct = self._progress_pct(self.itime, self.time)
             self._print(f"{tag}{pct:5.1f}% {self.itime:7d} {self.time:9.3f} "
-                        f"{field_energy:12.3e}")
+                        f"{float(eng.field):12.3e}")
         elif self.cfg.verbosity >= 2:
             self._print(f"Info: finished itime = {self.itime:7d}, "
                         f"time = {self.time:9.3f}")
         if self.cfg.verbosity >= 3:
-            eng = jax.device_get(self.stepper.energies(self.state))
-            nlive = np.asarray(self.state.nparticles())
-            mre, mim = jax.device_get((self.state.mode_re,
-                                       self.state.mode_im))
             self._print(
                 "Info: diagnostics: "
                 f"int E^2 dx = {float(eng.field):.6e}; "
                 f"marker KE = {np.array2string(np.asarray(eng.marker), precision=6)}; "
                 f"total KE = {np.array2string(np.asarray(eng.total), precision=6)}; "
                 f"pertb KE = {np.array2string(np.asarray(eng.pertb), precision=6)}; "
-                f"live markers = {nlive.tolist()}; "
-                f"mode_re = {np.array2string(mre, precision=6)}; "
-                f"mode_im = {np.array2string(mim, precision=6)}")
+                f"live markers = {np.asarray(nlive).tolist()}; "
+                f"mode_re = {np.array2string(np.asarray(mode_re), precision=6)}; "
+                f"mode_im = {np.array2string(np.asarray(mode_im), precision=6)}")

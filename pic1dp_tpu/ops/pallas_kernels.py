@@ -402,9 +402,8 @@ def make_substep_call(cfg: Config, s: int, substep: int, n: int, *,
                                         memory_space=pltpu.VMEM)]),
     )
     # in-place state update: substep 2 writes x2/v2/w2 over the x0/v0/w0
-    # input buffers (same shape/dtype, block i written only after read), and
-    # substep 1 writes w1 over w0 when the dtypes match.  Saves HBM
-    # allocations and lets the DMA engine reuse just-read pages;
+    # input buffers (same shape/dtype, block i written only after read).
+    # Saves HBM allocations and lets the DMA engine reuse just-read pages;
     # PIC1DP_PALLAS_ALIAS=0 disables for A/B experiments.
     # (substep 1 is NOT aliased: its only particle output w1 would clobber
     # w0, which substep 2 still reads — XLA would copy, negating the gain)

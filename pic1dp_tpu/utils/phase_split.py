@@ -14,6 +14,12 @@ and the np.asarray host fetch forces real execution, which matters over the
 axon tunnel where block_until_ready on a small output can return without
 executing anything (CLAUDE.md).
 
+When the stepper is a parallel.mesh.ShardedStepper, every phase loop runs
+under shard_map on its mesh with the production shardings (particle arrays
+sharded, fields replicated) and the deposition/diagnostic psums in place —
+the per-phase numbers then measure the actual sharded step, collectives
+included, not a single-device replica.
+
 Attribution caveats, by design and documented here once:
   * each phase loop re-reads its inputs from HBM, while the fused step
     shares them in registers — so the phase sum exceeds the fused step time;
@@ -58,16 +64,45 @@ def _slope(build_loop, args, k: int) -> float:
 def measure_phase_split(stepper, state, steps: int = 10) -> "OrderedDict[str, float]":
     """Per-phase seconds-per-step table for a MATRIX_FREE stepper.
 
-    Returns an ordered dict phase -> seconds/step.  Phases executed twice per
-    step (two RK substeps) are already doubled.  Keys mirror the reference's
-    wtimer slots (push / shape / collect / field); extra keys report the
-    fused production step and, on the Pallas path, the fused kernels
-    themselves.
+    `stepper` is a core.step.Stepper (single-device loops) or a
+    parallel.mesh.ShardedStepper (loops under shard_map on its mesh, psums
+    included).  Returns an ordered dict phase -> seconds/step.  Phases
+    executed twice per step (two RK substeps) are already doubled.  Keys
+    mirror the reference's wtimer slots (push / shape / collect / field);
+    extra keys report the fused production step and, on the Pallas path, the
+    fused kernels themselves.
     """
-    cfg = stepper.cfg
-    dt = jnp.asarray(cfg.dt, stepper.dtype)
+    inner = getattr(stepper, "local", stepper)  # ShardedStepper holds .local
+    mesh = getattr(stepper, "mesh", None)
+    cfg = inner.cfg
+    dt = jnp.asarray(cfg.dt, inner.dtype)
     x, v, p, w, live = state.x, state.v, state.p, state.w, state.live
     mre, mim = state.mode_re, state.mode_im
+
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+
+        from pic1dp_tpu.parallel.mesh import AXIS
+        from pic1dp_tpu.parallel.mesh import shard_map as _smap
+
+        PSPEC, RSPEC = P(None, AXIS), P()
+
+        def wrap(f, in_specs, out_specs=P()):
+            return jax.jit(_smap(f, mesh, in_specs=tuple(in_specs),
+                                 out_specs=out_specs))
+
+        def red(s):
+            # replicate the timing scalar so out_specs=P() is honest — also
+            # the production psum the collect/solve phases pay per substep
+            return jax.lax.psum(s, AXIS)
+    else:
+        PSPEC = RSPEC = None
+
+        def wrap(f, in_specs, out_specs=None):
+            return jax.jit(f)
+
+        def red(s):
+            return s
 
     def zero(dtype=x.dtype):
         return jnp.zeros((), dtype)
@@ -76,67 +111,67 @@ def measure_phase_split(stepper, state, steps: int = 10) -> "OrderedDict[str, fl
     # folded into push/collect under iptclshape=4; we report it with the
     # gather, where it dominates) --------------------------------------
     def build_gather(k):
-        @jax.jit
         def run(x, mre, mim):
             def body(c, _):
-                t = stepper._trig(x + c)
+                t = inner._trig(x + c)
                 e = spectral_ops.efield_at(t, mre, mim)
                 return jnp.asarray(1e-30, e.dtype) * jnp.sum(e), None
             out, _ = jax.lax.scan(body, zero(), None, length=k)
-            return out
-        return run
+            return red(out)
+        return wrap(run, (PSPEC, RSPEC, RSPEC))
 
     # --- push: the x/w/v update math given the gathered field
     # (reference interaction_push_particle body, :260-338) ---------------
-    e_p = jax.jit(lambda x, mre, mim: spectral_ops.efield_at(
-        stepper._trig(x), mre, mim))(x, mre, mim)
+    e_p = wrap(lambda x, mre, mim: spectral_ops.efield_at(
+        inner._trig(x), mre, mim), (PSPEC, RSPEC, RSPEC),
+        out_specs=PSPEC)(x, mre, mim)
 
     def build_push(k):
-        @jax.jit
         def run(e_p, x, v, p, w):
             def body(c, _):
                 # carry feeds BOTH e_p and x so no update is loop-invariant
                 # (XLA hoists invariant computations out of the scan)
-                x2, v2, w2 = stepper._push_math(
+                x2, v2, w2 = inner._push_math(
                     e_p + c, x + c, v, p, w, x + c, v, w, dt)
                 s = jnp.sum(x2) + jnp.sum(v2) + jnp.sum(w2)
                 return jnp.asarray(1e-30, s.dtype) * s, None
             out, _ = jax.lax.scan(body, zero(e_p.dtype), None, length=k)
-            return out
-        return run
+            return red(out)
+        return wrap(run, (PSPEC,) * 5)
 
-    # --- collect charge: mode_trig + mode projections (the deposition;
-    # reference interaction_collect_charge, :96-135) ---------------------
+    # --- collect charge: mode_trig + mode projections + (sharded) psum
+    # (reference interaction_collect_charge, :96-135) ---------------------
     def build_collect(k):
-        @jax.jit
         def run(x, p, w, live):
             def body(c, _):
-                t = stepper._trig(x + c)
+                t = inner._trig(x + c)
                 pc, ps = spectral_ops.project_modes(
-                    t, stepper._deposit_val(p, w, live))
-                s = jnp.sum(pc) + jnp.sum(ps)
+                    t, inner._deposit_val(p, w, live))
+                s = red(jnp.sum(pc) + jnp.sum(ps))
                 return jnp.asarray(1e-30, s.dtype) * s, None
             out, _ = jax.lax.scan(body, zero(), None, length=k)
             return out
-        return run
+        return wrap(run, (PSPEC,) * 4)
 
     # --- field solve: projections -> E-mode components -> grid E
     # (reference field_solve_electric, src/pic1dp_field.F90:218-257) ------
-    pc0, ps0 = jax.jit(lambda x, p, w, live: spectral_ops.project_modes(
-        stepper._trig(x), stepper._deposit_val(p, w, live)))(x, p, w, live)
+    pc0, ps0 = wrap(
+        lambda x, p, w, live: tuple(
+            red(a) for a in spectral_ops.project_modes(
+                inner._trig(x), inner._deposit_val(p, w, live))),
+        (PSPEC,) * 4, out_specs=(RSPEC, RSPEC))(x, p, w, live)
 
     def build_solve(k):
-        @jax.jit
         def run(pc, ps):
             def body(c, _):
                 mre2, mim2 = spectral_ops.solve_modes_from_projections(
-                    pc + c, ps, stepper.spectral.grad_inv, cfg.lx)
-                e = stepper.spectral.e_grid(mre2, mim2)
+                    pc + c, ps, inner.spectral.grad_inv, cfg.lx)
+                e = inner.spectral.e_grid(mre2, mim2)
                 s = jnp.sum(e)
                 return jnp.asarray(1e-30, s.dtype) * s, None
             out, _ = jax.lax.scan(body, zero(pc.dtype), None, length=k)
             return out
-        return run
+        return wrap(run, (RSPEC, RSPEC))
 
     # --- the fused production step, for the fusion-gain row --------------
     def build_step(k):
@@ -158,41 +193,43 @@ def measure_phase_split(stepper, state, steps: int = 10) -> "OrderedDict[str, fl
     table["collect charge"] = 2.0 * _slope(build_collect, (x, p, w, live), steps)
     table["field solve"] = 2.0 * _slope(build_solve, (pc0, ps0), 64 * steps)
 
-    # Pallas path: time the fused kernels themselves as well
-    if getattr(stepper, "_fused", None) is not None or (
-            getattr(stepper, "deposit_method", None) is not None
-            and str(getattr(stepper.deposit_method, "value", "")) == "pallas"
-            and x.shape[-1] % stepper._pallas_align == 0):
+    # Pallas path: time the fused kernels themselves as well (per-device
+    # shard length must satisfy the capacity granularity, as in production)
+    n_shard = x.shape[-1] // (mesh.size if mesh is not None else 1)
+    if (getattr(inner, "_fused", None) is not None
+            or (getattr(inner, "deposit_method", None) is not None
+                and str(getattr(inner.deposit_method, "value", "")) == "pallas"
+                and n_shard % inner._pallas_align == 0)):
         from pic1dp_tpu.ops.pallas_kernels import FusedStepper
 
-        if stepper._fused is None:
-            stepper._fused = FusedStepper(cfg, axis_name=stepper.axis_name)
-        fused = stepper._fused
+        if inner._fused is None:
+            inner._fused = FusedStepper(cfg, axis_name=inner.axis_name)
+        fused = inner._fused
 
         def build_ss1(k):
-            @jax.jit
             def run(x, v, p, w, mre, mim):
                 def body(c, _):
                     _w1, (pc, ps) = fused.substep1(x + c, v, p, w, mre, mim)
-                    s = jnp.sum(pc) + jnp.sum(ps)
+                    s = red(jnp.sum(pc) + jnp.sum(ps))
                     return jnp.asarray(1e-30, x.dtype) * s.astype(x.dtype), None
                 out, _ = jax.lax.scan(body, zero(), None, length=k)
                 return out
-            return run
+            return wrap(run, (PSPEC,) * 4 + (RSPEC, RSPEC))
 
-        w1 = jax.jit(lambda *a: fused.substep1(*a)[0])(x, v, p, w, mre, mim)
+        w1 = wrap(lambda *a: fused.substep1(*a)[0],
+                  (PSPEC,) * 4 + (RSPEC, RSPEC),
+                  out_specs=PSPEC)(x, v, p, w, mre, mim)
 
         def build_ss2(k):
-            @jax.jit
             def run(x, v, p, w, w1, mre, mim):
                 def body(c, _):
                     _x2, _v2, _w2, (pc, ps) = fused.substep2(
                         x + c, v, p, w, w1, mre, mim, mre, mim)
-                    s = jnp.sum(pc) + jnp.sum(ps)
+                    s = red(jnp.sum(pc) + jnp.sum(ps))
                     return jnp.asarray(1e-30, x.dtype) * s.astype(x.dtype), None
                 out, _ = jax.lax.scan(body, zero(), None, length=k)
                 return out
-            return run
+            return wrap(run, (PSPEC,) * 5 + (RSPEC, RSPEC))
 
         table["substep-1 kernel (fused)"] = _slope(
             build_ss1, (x, v, p, w, mre, mim), steps)

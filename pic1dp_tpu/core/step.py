@@ -90,6 +90,18 @@ class Stepper:
                 or jax.default_backend() == "tpu")
             else "take")
         self.dtype = jnp.dtype(cfg.dtype)
+        # packed p||w1 fused-kernel layout (ops/pallas_kernels.pack_pw):
+        # 12 N f32 stream-floats per step with every tile f32 — the default
+        # bf16_weights data path (the separate bf16 p stream costs +30% on
+        # this Mosaic version, docs/performance.md).  PIC1DP_PACKED=0 or a
+        # PIC1DP_BF16_STREAMS bisection selection reverts to separate
+        # bf16 streams.
+        import os
+
+        self._packed = (cfg.bf16_weights and cfg.deltaf
+                        and self.dtype == jnp.float32
+                        and os.environ.get("PIC1DP_BF16_STREAMS") is None
+                        and bool(int(os.environ.get("PIC1DP_PACKED", "1"))))
         self.spectral = SpectralOperator.create(cfg.nx, cfg.modes, cfg.lx, self.dtype)
         self.sp = dist.SpeciesParams.from_config(cfg, self.dtype)
         self.step = jax.jit(self._step)
@@ -274,6 +286,14 @@ class Stepper:
             f"device) to a multiple of {self._pallas_align} to enable the "
             f"fused kernels.", RuntimeWarning, stacklevel=3)
 
+    def _get_fused(self):
+        from pic1dp_tpu.ops.pallas_kernels import FusedStepper
+
+        if self._fused is None:
+            self._fused = FusedStepper(self.cfg, axis_name=self.axis_name,
+                                       packed=self._packed)
+        return self._fused
+
     def _step_spectral_pallas(self, state: SimState) -> SimState:
         """Matrix-free RK2 step with both substeps as fused Pallas kernels
         (ops/pallas_kernels.py); mode solve between them is scalar work.
@@ -281,29 +301,54 @@ class Stepper:
         substep 2 recomputes them bitwise-identically from the step-start
         state and mode scalars; only the midpoint weights w1 are streamed
         (recomputing those too measures slower, see docs/performance.md)."""
-        from pic1dp_tpu.ops.pallas_kernels import FusedStepper
+        import dataclasses
 
-        if self._fused is None:
-            self._fused = FusedStepper(self.cfg, axis_name=self.axis_name)
+        fused = self._get_fused()
+        if fused.packed:
+            # single-step entry: pack p||w1 for this step only (make_multi_
+            # step carries the packed stream across the whole scan instead).
+            # Bitwise-identical physics either way — the packed kernels
+            # quantize with the same RTNE as .astype(bfloat16).
+            from pic1dp_tpu.ops.pallas_kernels import pack_pw
+
+            carry = dataclasses.replace(state, p=pack_pw(state.p))
+            out = self._step_packed_carry(carry)
+            return dataclasses.replace(out, p=state.p)
+        return self._step_pallas_body(state, state.p)
+
+    def _step_packed_carry(self, state: SimState) -> SimState:
+        """One packed-carry RK2 step: state.p holds the packed p||w1 f32
+        stream (ops/pallas_kernels.pack_pw); the returned state carries the
+        refreshed stream (same p halves) so a lax.scan never re-packs."""
+        return self._step_pallas_body(state, state.p, packed_carry=True)
+
+    def _step_pallas_body(self, state: SimState, p_stream,
+                          packed_carry: bool = False) -> SimState:
+        fused = self._get_fused()
         cfg = self.cfg
         x0, v0, w0 = state.x, state.v, state.w
-        p, live = state.p, state.live
+        live = state.live
 
-        w1, (pc1, ps1) = self._fused.substep1(
-            x0, v0, p, w0, state.mode_re, state.mode_im)
+        w1, (pc1, ps1) = fused.substep1(
+            x0, v0, p_stream, w0, state.mode_re, state.mode_im)
         pc1, ps1 = self._psum((pc1, ps1))
         mre1, mim1 = spectral_ops.solve_modes_from_projections(
             pc1, ps1, self.spectral.grad_inv, cfg.lx)
 
-        x2, v2, w2, (pc2, ps2) = self._fused.substep2(
-            x0, v0, p, w0, w1, state.mode_re, state.mode_im, mre1, mim1)
+        # packed mode: substep 1's output IS the refreshed p||w1 stream,
+        # consumed by substep 2 in the p slot (the original was donated)
+        p2 = w1 if fused.packed else p_stream
+        x2, v2, w2, (pc2, ps2) = fused.substep2(
+            x0, v0, p2, w0, None if fused.packed else w1,
+            state.mode_re, state.mode_im, mre1, mim1)
         pc2, ps2 = self._psum((pc2, ps2))
         mre2, mim2 = spectral_ops.solve_modes_from_projections(
             pc2, ps2, self.spectral.grad_inv, cfg.lx)
 
         electric = self.spectral.e_grid(mre2, mim2)
         rho = self.spectral.rho_grid_from_projections(pc2, ps2, cfg.lx)
-        return SimState(x=x2, v=v2, p=p, w=w2, live=live,
+        p_out = p2 if packed_carry else state.p
+        return SimState(x=x2, v=v2, p=p_out, w=w2, live=live,
                         rho=rho, electric=electric, mode_re=mre2, mode_im=mim2)
 
     def _step_grid(self, state: SimState) -> SimState:
@@ -327,16 +372,37 @@ class Stepper:
         return SimState(x=x2, v=v2, p=p, w=w2, live=live,
                         rho=rho2, electric=e2, mode_re=mre, mode_im=mim)
 
+    def _packed_scan_ok(self, n_trace: int) -> bool:
+        """Packed-carry scan eligibility for a per-trace particle length."""
+        return (self._packed
+                and self.cfg.shape == ParticleShape.MATRIX_FREE
+                and self.deposit_method == DepositMethod.PALLAS
+                and n_trace % self._pallas_align == 0)
+
     def make_multi_step(self, k: int):
         """Jitted k-step advance via lax.scan: one dispatch, one compiled
         loop — amortizes host->device launch latency (the reference's analogue
-        is simply its Fortran time loop, src/pic1dp.F90:78-109)."""
+        is simply its Fortran time loop, src/pic1dp.F90:78-109).
+
+        With packed bf16 weights the scan carries the packed p||w1 stream:
+        packed once before the loop, p restored after — the per-step body
+        then streams 12 N f32 with every write aliased in place."""
+        import dataclasses
 
         def body(state, _):
             return self._step(state), None
 
+        def body_packed(state, _):
+            return self._step_packed_carry(state), None
+
         @jax.jit
         def multi(state):
+            if self._packed_scan_ok(state.x.shape[-1]):
+                from pic1dp_tpu.ops.pallas_kernels import pack_pw
+
+                carry = dataclasses.replace(state, p=pack_pw(state.p))
+                out, _ = jax.lax.scan(body_packed, carry, None, length=k)
+                return dataclasses.replace(out, p=state.p)
             out, _ = jax.lax.scan(body, state, None, length=k)
             return out
 

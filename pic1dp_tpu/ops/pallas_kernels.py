@@ -143,6 +143,57 @@ def _minus_dlnf0_dv_fast(eq, sp, v):
     raise ValueError(f"unknown equilibrium {eq}")
 
 
+# ---- bf16-pair packing: two bf16 values in one f32 word ----------------
+#
+# The bf16 `p` INPUT stream costs +30% kernel time on this Mosaic version
+# even though it carries half the bytes (docs/performance.md bisection — a
+# layout/pipelining pathology unreachable from Pallas).  The packed layout
+# sidesteps it: p lives in the TOP 16 bits and the intra-step midpoint
+# weight w1 in the BOTTOM 16 bits of ONE f32 stream, so Mosaic only ever
+# sees f32 tiles; the halves are split/joined with register bitcasts.
+# Quantization is round-to-nearest-even, bitwise identical to
+# .astype(bfloat16) (bf16 is exactly the top half of f32), so the packed
+# and separate-stream bf16 paths produce identical physics.
+# Stream budget per marker per step: 13 N f32 (plain) -> 12 N
+# (ss1: read x,v,w,pw write pw; ss2: read x,v,w,pw write x,v,w — every
+# write aliased over a dead input).
+
+_HI_MASK = np.uint32(0xFFFF0000)
+
+
+def _pw_bits(pw):
+    return jax.lax.bitcast_convert_type(pw, jnp.uint32)
+
+
+def _unpack_hi(bits):
+    """Top-half bf16 (p) as f32 — upcast is exactly `bits & hi_mask`."""
+    return jax.lax.bitcast_convert_type(bits & _HI_MASK, jnp.float32)
+
+
+def _unpack_lo(bits):
+    """Bottom-half bf16 (w1) as f32."""
+    return jax.lax.bitcast_convert_type(bits << 16, jnp.float32)
+
+
+def _pack_lo(bits_hi, value_f32):
+    """Keep the top half of `bits_hi`, round `value_f32` to bf16 (RTNE,
+    identical to .astype(bfloat16)) into the bottom half."""
+    vb = jax.lax.bitcast_convert_type(value_f32, jnp.uint32)
+    vb = (vb + np.uint32(0x7FFF) + ((vb >> 16) & np.uint32(1))) >> 16
+    return jax.lax.bitcast_convert_type((bits_hi & _HI_MASK) | vb,
+                                        jnp.float32)
+
+
+def pack_pw(p, w1=None):
+    """Host/XLA-side pack: (ns, n) p (any float dtype) + optional w1 ->
+    one f32 array with p in the top halves.  Used to enter the packed
+    multi-step carry; p is quantized to bf16 exactly once."""
+    pw = p.astype(jnp.bfloat16).astype(jnp.float32)
+    if w1 is not None:
+        return _pack_lo(_pw_bits(pw), w1.astype(jnp.float32))
+    return pw
+
+
 # Degree-5 (in f^2) quadrant polynomials for cos/sin(pi/2 f), f in [0, 1):
 # near-minimax Chebyshev fits, max abs error 6.8e-10 / 8.3e-11 — below one
 # f32 ulp, so on the f32 hot path they are as accurate as jnp.cos/sin while
@@ -232,7 +283,7 @@ def _trig_block(x, lx, nx: int, modes, dtype):
 
 def make_substep_call(cfg: Config, s: int, substep: int, n: int, *,
                       max_rows: int = 128, interpret: bool = False,
-                      axis_name: str | None = None):
+                      axis_name: str | None = None, packed: bool = False):
     """Build the fused substep kernel for species `s`.
 
     substep 1:  fn(x0, v0, p, w0, mode_re0, mode_im0)
@@ -249,6 +300,15 @@ def make_substep_call(cfg: Config, s: int, substep: int, n: int, *,
     updates w).  proj is the (2, nmode) raw mode projections of the species'
     charge-weighted deposit at the pushed positions (spectral.project_modes
     semantics).  All particle arrays are (n,) flat for this species.
+
+    `packed=True` (bf16_weights fast path, delta-f f32 only): the p slot
+    carries the packed p||w1 f32 stream (see pack_pw above) instead of
+    separate p / w1 streams —
+        substep 1:  fn(x0, v0, pw, w0, mode_re0, mode_im0) -> (pw', proj1)
+                    (pw' = same p halves, fresh bf16 w1 halves; ALIASED
+                    over pw, which dies here)
+        substep 2:  fn(x0, v0, pw', w0, *mode_scalars) -> (x2, v2, w2, proj2)
+    12 N stream-floats per step, every write in-place, all tiles f32.
     """
     if n % 1024:
         raise ValueError(
@@ -265,6 +325,8 @@ def make_substep_call(cfg: Config, s: int, substep: int, n: int, *,
         raise ValueError(
             f"bf16_weights pallas path needs the per-device particle "
             f"capacity % 2048 == 0 (bf16 tile is (16, 128)), got {n}")
+    if packed and not (reduced and cfg.deltaf and dtype == jnp.float32):
+        raise ValueError("packed kernels require bf16_weights delta-f f32")
     # perf-bisection knob: PIC1DP_BF16_STREAMS selects which of the reduced
     # streams actually run at bf16 ("p", "w1", "p,w1" (default), or "" for
     # none); lets on-chip experiments isolate per-stream Mosaic costs
@@ -272,14 +334,15 @@ def make_substep_call(cfg: Config, s: int, substep: int, n: int, *,
     import os
 
     _sel = os.environ.get("PIC1DP_BF16_STREAMS")
-    if reduced and _sel is not None:
+    if reduced and _sel is not None and not packed:
         _names = set(filter(None, _sel.split(",")))
         p_sd = aux if "p" in _names else dtype
         w1_sd = aux if "w1" in _names else dtype
     else:
         p_sd = w1_sd = aux
     nrows = n // 128
-    rows = _largest_divisor(nrows, max_rows, 16 if reduced else 8)
+    rows = _largest_divisor(nrows, max_rows,
+                            16 if (reduced and not packed) else 8)
     nblocks = nrows // rows
     nmode = len(cfg.modes)
     sp = _ScalarSpecies(cfg, s)
@@ -290,7 +353,7 @@ def make_substep_call(cfg: Config, s: int, substep: int, n: int, *,
     has_v = not cfg.linear     # v stream updated
     has_w = cfg.deltaf         # w stream updated
     n_scal = 2 if substep == 1 else (4 if has_v else 2)
-    n_pin = 4 if substep == 1 else 4 + (1 if has_w else 0)
+    n_pin = 4 if (substep == 1 or packed) else 4 + (1 if has_w else 0)
     n_out = ((1 if has_w else 0) if substep == 1
              else 1 + (1 if has_v else 0) + (1 if has_w else 0))
 
@@ -322,12 +385,16 @@ def make_substep_call(cfg: Config, s: int, substep: int, n: int, *,
         in_refs, out_refs = refs[:n_pin + n_scal], refs[n_pin + n_scal:]
         x_ref, v_ref, p_ref, w_ref, *rest = in_refs
         scal = rest[-n_scal:]
-        w1_ref = rest[0] if (substep == 2 and has_w) else None
+        w1_ref = rest[0] if (substep == 2 and has_w and not packed) else None
         proj_ref = out_refs[-1]
 
         x0 = x_ref[:]
         v0 = v_ref[:]
-        p = p_ref[:].astype(dtype)   # upcast the (possibly bf16) p stream
+        if packed:
+            pw_bits = _pw_bits(p_ref[:])   # p||w1 halves, split in-register
+            p = _unpack_hi(pw_bits)
+        else:
+            p = p_ref[:].astype(dtype)   # upcast the (possibly bf16) p stream
         w0 = w_ref[:]
 
         if substep == 1:
@@ -338,7 +405,10 @@ def make_substep_call(cfg: Config, s: int, substep: int, n: int, *,
                 # w1 is an intra-step stream (consumed only by substep 2's
                 # drive term), quantized to the stream dtype on store; the
                 # midpoint projections below use the full-precision w_new
-                out_refs[0][:] = w_new.astype(out_refs[0].dtype)
+                if packed:
+                    out_refs[0][:] = _pack_lo(pw_bits, w_new)
+                else:
+                    out_refs[0][:] = w_new.astype(out_refs[0].dtype)
         else:
             # re-derive the midpoint positions/velocities in-register
             # (identical code + inputs as substep 1: bitwise-equal midpoint);
@@ -350,7 +420,10 @@ def make_substep_call(cfg: Config, s: int, substep: int, n: int, *,
             else:
                 v1 = v0
             x1 = _fast_wrap(x0 + dt_half * v0, cfg.lx)
-            w1 = w1_ref[:].astype(dtype) if has_w else w0
+            if packed:
+                w1 = _unpack_lo(pw_bits)
+            else:
+                w1 = w1_ref[:].astype(dtype) if has_w else w0
             e_p1, _ = gather_e(x1, scal[-2], scal[-1])
             x_new, v_new, w_new = push(x0, v0, p, w0, v1, w1, e_p1, cfg.dt)
             out_i = 0
@@ -388,12 +461,13 @@ def make_substep_call(cfg: Config, s: int, substep: int, n: int, *,
                           memory_space=pltpu.VMEM)
     mblock = pl.BlockSpec((1, nmode), lambda b: (0, 0),
                           memory_space=pltpu.SMEM)
-    # per-stream dtypes: substep 1's sole particle output is the w1 stream;
-    # substep 2's outputs (persistent state) stay full precision
-    out_dtypes = ([w1_sd] if substep == 1 and has_w
+    # per-stream dtypes: substep 1's sole particle output is the w1 stream
+    # (the full packed word in packed mode); substep 2's outputs (persistent
+    # state) stay full precision
+    out_dtypes = ([dtype if packed else w1_sd] if substep == 1 and has_w
                   else [dtype] * n_out)
-    in_dtypes = [dtype, dtype, p_sd, dtype] \
-        + ([w1_sd] if (substep == 2 and has_w) else [])
+    in_dtypes = [dtype, dtype, dtype if packed else p_sd, dtype] \
+        + ([w1_sd] if (substep == 2 and has_w and not packed) else [])
     grid_spec = pl.GridSpec(
         grid=(nblocks,),
         in_specs=[pblock] * n_pin + [mblock] * n_scal,
@@ -405,15 +479,20 @@ def make_substep_call(cfg: Config, s: int, substep: int, n: int, *,
     # input buffers (same shape/dtype, block i written only after read).
     # Saves HBM allocations and lets the DMA engine reuse just-read pages;
     # PIC1DP_PALLAS_ALIAS=0 disables for A/B experiments.
-    # (substep 1 is NOT aliased: its only particle output w1 would clobber
-    # w0, which substep 2 still reads — XLA would copy, negating the gain)
+    # (substep 1 is NOT aliased on the separate-stream layout: its only
+    # particle output w1 would clobber w0, which substep 2 still reads —
+    # XLA would copy, negating the gain.  The PACKED layout aliases substep
+    # 1 too: pw' overwrites pw, whose old value nothing reads again.)
     aliases = {}
-    if substep == 2 and int(os.environ.get("PIC1DP_PALLAS_ALIAS", "1")):
-        aliases[0] = 0                     # x0 -> x2
-        if has_v:
-            aliases[1] = 1                 # v0 -> v2
-        if has_w:
-            aliases[3] = (2 if has_v else 1)   # w0 -> w2
+    if int(os.environ.get("PIC1DP_PALLAS_ALIAS", "1")):
+        if substep == 2:
+            aliases[0] = 0                     # x0 -> x2
+            if has_v:
+                aliases[1] = 1                 # v0 -> v2
+            if has_w:
+                aliases[3] = (2 if has_v else 1)   # w0 -> w2
+        elif packed:
+            aliases[2] = 0                     # pw -> pw'
     call = pl.pallas_call(
         kernel,
         input_output_aliases=aliases,
@@ -457,7 +536,8 @@ class FusedStepper:
     is what reaches the kernel, not the global capacity."""
 
     def __init__(self, cfg: Config, interpret: bool | None = None,
-                 axis_name: str | None = None, max_rows: int = 128):
+                 axis_name: str | None = None, max_rows: int = 128,
+                 packed: bool = False):
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
         self.cfg = cfg
@@ -466,6 +546,10 @@ class FusedStepper:
         self.max_rows = max_rows
         self.has_v = not cfg.linear
         self.has_w = cfg.deltaf
+        # packed p||w1 layout (see pack_pw): the p argument of both substeps
+        # carries the packed f32 stream; substep 1 returns the refreshed
+        # stream in the w1 slot; substep 2 takes it in the p slot (w1=None)
+        self.packed = packed
         self._subs: dict = {}
 
     def _sub(self, substep: int, s: int, n: int):
@@ -473,14 +557,16 @@ class FusedStepper:
         if key not in self._subs:
             self._subs[key] = make_substep_call(
                 self.cfg, s, substep, n, max_rows=self.max_rows,
-                interpret=self.interpret, axis_name=self.axis_name)
+                interpret=self.interpret, axis_name=self.axis_name,
+                packed=self.packed)
         return self._subs[key]
 
     def substep1(self, x, v, p, w, mode_re, mode_im):
         """(ns, N) step-start arrays + step-start mode scalars
         -> (w1, (p_c, p_s)): the streamed midpoint weights (= w when w is
-        frozen) and the raw midpoint-deposit projections summed over
-        species.  x1/v1 are not written — substep 2 re-derives them."""
+        frozen; the refreshed packed p||w1 stream in packed mode) and the
+        raw midpoint-deposit projections summed over species.  x1/v1 are
+        not written — substep 2 re-derives them."""
         outs = self._run(1, (x, v, p, w), (mode_re, mode_im))
         proj = sum(o[-1] for o in outs)
         w1 = jnp.stack([o[0] for o in outs]) if self.has_w else w
@@ -489,8 +575,10 @@ class FusedStepper:
     def substep2(self, x, v, p, w, w1, mode_re0, mode_im0, mode_re1,
                  mode_im1):
         """Step-start state + streamed midpoint weights + mode scalars
-        -> (x2, v2, w2, (p_c, p_s)).  Frozen streams return the inputs."""
-        particle = (x, v, p, w) + ((w1,) if self.has_w else ())
+        -> (x2, v2, w2, (p_c, p_s)).  Frozen streams return the inputs.
+        Packed mode: pass substep 1's refreshed stream as `p`, w1=None."""
+        particle = (x, v, p, w) + (
+            (w1,) if self.has_w and not self.packed else ())
         scal = ((mode_re0, mode_im0, mode_re1, mode_im1) if self.has_v
                 else (mode_re1, mode_im1))
         outs = self._run(2, particle, scal)

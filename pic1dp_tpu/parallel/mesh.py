@@ -133,7 +133,29 @@ class ShardedStepper:
 
     def make_multi_step(self, k: int):
         """Jitted k-step lax.scan over the shard_mapped step (one dispatch
-        per output interval, same as Stepper.make_multi_step)."""
+        per output interval, same as Stepper.make_multi_step).  Packed bf16
+        weights carry the packed p||w1 stream across the whole scan (packed
+        once outside, per-device shards refreshed in place each step)."""
+        import dataclasses
+
+        local = self.local
+        if local._packed_scan_ok(self.cfg.nparticle_max // self.mesh.size):
+            from pic1dp_tpu.ops.pallas_kernels import pack_pw
+
+            specs = state_specs()
+            packed_inner = shard_map(local._step_packed_carry, self.mesh,
+                                     in_specs=(specs,), out_specs=specs)
+
+            def body_packed(state, _):
+                return packed_inner(state), None
+
+            @jax.jit
+            def multi_packed(state):
+                carry = dataclasses.replace(state, p=pack_pw(state.p))
+                out, _ = jax.lax.scan(body_packed, carry, None, length=k)
+                return dataclasses.replace(out, p=state.p)
+
+            return multi_packed
 
         def body(state, _):
             return self._step_inner(state), None

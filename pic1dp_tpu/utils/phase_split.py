@@ -200,31 +200,40 @@ def measure_phase_split(stepper, state, steps: int = 10) -> "OrderedDict[str, fl
             or (getattr(inner, "deposit_method", None) is not None
                 and str(getattr(inner.deposit_method, "value", "")) == "pallas"
                 and n_shard % inner._pallas_align == 0)):
-        from pic1dp_tpu.ops.pallas_kernels import FusedStepper
+        fused = inner._get_fused()
+        if fused.packed:
+            from pic1dp_tpu.ops.pallas_kernels import pack_pw
 
-        if inner._fused is None:
-            inner._fused = FusedStepper(cfg, axis_name=inner.axis_name)
-        fused = inner._fused
+            p_in = wrap(pack_pw, (PSPEC,), out_specs=PSPEC)(p)
+        else:
+            p_in = p
 
         def build_ss1(k):
             def run(x, v, p, w, mre, mim):
-                def body(c, _):
-                    _w1, (pc, ps) = fused.substep1(x + c, v, p, w, mre, mim)
+                # packed mode donates + refreshes the p||w1 stream, so it
+                # rides the scan carry exactly as in the production step
+                def body(carry, _):
+                    c, pw = carry
+                    w1_out, (pc, ps) = fused.substep1(x + c, v, pw, w,
+                                                      mre, mim)
                     s = red(jnp.sum(pc) + jnp.sum(ps))
-                    return jnp.asarray(1e-30, x.dtype) * s.astype(x.dtype), None
-                out, _ = jax.lax.scan(body, zero(), None, length=k)
+                    pw = w1_out if fused.packed else pw
+                    return (jnp.asarray(1e-30, x.dtype) * s.astype(x.dtype),
+                            pw), None
+                (out, _), _ = jax.lax.scan(body, (zero(), p), None, length=k)
                 return out
             return wrap(run, (PSPEC,) * 4 + (RSPEC, RSPEC))
 
         w1 = wrap(lambda *a: fused.substep1(*a)[0],
                   (PSPEC,) * 4 + (RSPEC, RSPEC),
-                  out_specs=PSPEC)(x, v, p, w, mre, mim)
+                  out_specs=PSPEC)(x, v, p_in, w, mre, mim)
 
         def build_ss2(k):
             def run(x, v, p, w, w1, mre, mim):
                 def body(c, _):
                     _x2, _v2, _w2, (pc, ps) = fused.substep2(
-                        x + c, v, p, w, w1, mre, mim, mre, mim)
+                        x + c, v, w1 if fused.packed else p, w,
+                        None if fused.packed else w1, mre, mim, mre, mim)
                     s = red(jnp.sum(pc) + jnp.sum(ps))
                     return jnp.asarray(1e-30, x.dtype) * s.astype(x.dtype), None
                 out, _ = jax.lax.scan(body, zero(), None, length=k)
@@ -232,9 +241,9 @@ def measure_phase_split(stepper, state, steps: int = 10) -> "OrderedDict[str, fl
             return wrap(run, (PSPEC,) * 5 + (RSPEC, RSPEC))
 
         table["substep-1 kernel (fused)"] = _slope(
-            build_ss1, (x, v, p, w, mre, mim), steps)
+            build_ss1, (x, v, p_in, w, mre, mim), steps)
         table["substep-2 kernel (fused)"] = _slope(
-            build_ss2, (x, v, p, w, w1, mre, mim), steps)
+            build_ss2, (x, v, p_in, w, w1, mre, mim), steps)
 
     table["sum of phases (unfused)"] = (
         table["push particle"] + table["shape + gather E"]

@@ -132,6 +132,37 @@ class TestShardedPallas:
         np.testing.assert_allclose(np.asarray(b.mode_re), np.asarray(a.mode_re),
                                    rtol=1e-10)
 
+    def test_packed_multi_step_under_mesh(self, devices):
+        """bf16_weights packed-carry scan on the sharded path: the 8-device
+        multi-step must equal the single-device packed multi-step exactly
+        (per-device shards satisfy the 2048 capacity granularity)."""
+        import dataclasses
+
+        from pic1dp_tpu.config import DepositMethod, bump_on_tail_default
+        from pic1dp_tpu.core.loading import load_particles
+
+        cfg = bump_on_tail_default(nx=64, nparticle_max=8 * 2048,
+                                   dtype="float32", bf16_weights=True,
+                                   deposit_method=DepositMethod.PALLAS,
+                                   verbosity=0)
+        mesh = pmesh.make_mesh(8)
+        single = Stepper(cfg)
+        sharded = pmesh.ShardedStepper(cfg, mesh)
+        assert single._packed and sharded.local._packed
+        state = single.initial_field(load_particles(cfg, jax.random.PRNGKey(23)))
+        a = single.make_multi_step(3)(state)
+        b = sharded.make_multi_step(3)(pmesh.shard_state(state, mesh))
+        # sharded psum vs single-device sum reassociates the projection
+        # reduction -> f32-ulp-level divergence is expected (same as the
+        # f64 1e-12 pin above, scaled to f32)
+        for field in ("x", "v", "w", "mode_re", "mode_im"):
+            va = np.asarray(getattr(a, field))
+            vb = np.asarray(getattr(b, field))
+            scale = np.max(np.abs(va)) + 1e-30
+            np.testing.assert_allclose(vb / scale, va / scale, rtol=0,
+                                       atol=1e-5, err_msg=field)
+        assert str(np.asarray(b.p).dtype) == "bfloat16"
+
 
 def test_sharded_fullf_ptcldist_subtracts_equilibrium_once(devices):
     """full-f perturbed distributions: the psum must reduce RAW histograms

@@ -210,6 +210,60 @@ def test_bf16_weights_matches_f32():
                                rtol=0, atol=2e-2)
 
 
+def test_packed_matches_separate_bf16_streams():
+    """The packed p||w1 f32 layout (ops/pallas_kernels.pack_pw) must be
+    BITWISE identical to the separate bf16-stream layout: the in-register
+    RTNE (bits + 0x7fff + lsb) is exactly .astype(bfloat16), and the p
+    halves are the p bits.  Same quantized physics, different DMA layout."""
+    from pic1dp_tpu.config import DepositMethod
+
+    cfg = bump_on_tail_default(nx=192, nparticle_max=4096, dtype="float32",
+                               deposit_method=DepositMethod.PALLAS,
+                               bf16_weights=True, verbosity=0)
+    st_packed = Stepper(cfg)
+    assert st_packed._packed
+    import os
+
+    os.environ["PIC1DP_PACKED"] = "0"
+    try:
+        st_sep = Stepper(cfg)
+    finally:
+        del os.environ["PIC1DP_PACKED"]
+    assert not st_sep._packed
+    state = st_packed.initial_field(load_particles(cfg, jax.random.PRNGKey(17)))
+    a, b = state, state
+    for _ in range(3):
+        a = st_packed.step(a)
+        b = st_sep.step(b)
+    for field in ("x", "v", "w", "mode_re", "mode_im"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(a, field)), np.asarray(getattr(b, field)),
+            err_msg=field)
+    assert str(a.p.dtype) == "bfloat16"  # single-step entry restores p
+
+
+def test_packed_multi_step_matches_per_step():
+    """The packed-carry lax.scan (pack once, stream refreshed in place)
+    must equal per-step stepping exactly — extends the chunked-vs-per-step
+    pin (test_tools.py) to the bf16_weights configuration."""
+    from pic1dp_tpu.config import DepositMethod
+
+    cfg = bump_on_tail_default(nx=192, nparticle_max=4096, dtype="float32",
+                               deposit_method=DepositMethod.PALLAS,
+                               bf16_weights=True, verbosity=0)
+    st = Stepper(cfg)
+    assert st._packed and st._packed_scan_ok(cfg.nparticle_max)
+    state = st.initial_field(load_particles(cfg, jax.random.PRNGKey(19)))
+    a = st.make_multi_step(4)(state)
+    b = state
+    for _ in range(4):
+        b = st.step(b)
+    for field in ("x", "v", "p", "w", "mode_re", "mode_im"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(a, field)), np.asarray(getattr(b, field)),
+            err_msg=field)
+
+
 def test_bf16_weights_xla_fallback_matches():
     """Capacities that miss the 2048 granularity fall back to the XLA
     spectral path, which reads the bf16 p through ordinary promotion — the

@@ -1,26 +1,35 @@
-"""Physics-accuracy benchmark: regenerable growth-rate artifact.
+"""Physics-accuracy benchmark: regenerable growth-rate + saturation artifact.
 
-Runs the three BASELINE.md verification cases — linear Landau damping,
-the PRE 83, 056402 bump-on-tail headline case, and the nonlinear two-stream
-instability — on whatever backend is active, fits the field-energy growth
-rate exactly as the reference's tools/runinfo.py does (gamma = energy-fit/2,
-reference tools/runinfo.py:114-122), and compares against the kinetic
-dispersion root (tools/dispersion.py:130-157 methodology).
+Runs the BASELINE.md verification cases — linear Landau damping, the PRE 83,
+056402 bump-on-tail headline case (full t=500 nonlinear run), the nonlinear
+two-stream instability, and multi-mode (nmode=4) two-stream runs — on
+whatever backend is active, and measures everything the reference's
+quantitative pipeline measures:
 
-Emits one JSON line per case:
-    {"case": ..., "gamma_sim": ..., "gamma_theory": ..., "rel_err": ...,
-     "dtype": ..., "bf16_weights": ..., "backend": ..., "n_markers": ...}
-and, with --out FILE, the combined list as a JSON artifact (the committed
-PHYSICS_r{N}.json files), so accuracy claims are regenerable with one
-command instead of living in PARITY.md prose.
+  * growth/damping rate: gamma = energy-fit/2 exactly as tools/runinfo.py
+    :114-122, vs the kinetic dispersion root (tools/dispersion.py:130-157);
+  * saturation level & time: peak int E^2 dx after the linear phase, the
+    findpeak_energy metric (reference tools/OutputData.py:172-180,
+    tools/runinfo.py:127-134);
+  * per-mode growth at nmode > 1: |E_m|(t) fit from get_mode_t per kept
+    mode vs the dispersion root at k_m = 2 pi m / lx
+    (reference src/pic1dp_field.F90:230-257 solves every kept mode);
+  * delta-f mode structure: phase/amplitude-free correlation of the
+    simulated delta f(x, v) snapshot against the analytic eigenmode
+    (analysis.dispersion.structure_correlation; reference mode-structure
+    plot tools/dispersion.py:159-206 turned into a metric).
 
-On non-CPU backends the bump-on-tail and two-stream cases are additionally
-run with bf16_weights=True (the reduced-precision p/w1 stream,
-docs/performance.md) to measure the on-chip gamma error budget of that mode.
+Emits one JSON line per measurement and, with --out FILE, the combined list
+as the committed PHYSICS_r{N}.json artifact — regenerable with one command.
+
+On non-CPU backends the bump-on-tail and two-stream cases also run with
+bf16_weights=True (packed p||w1 stream) to pin that mode's gamma error
+budget on chip.
 
 Usage:
     python bench/physics.py [--out PHYSICS.json] [--cpu] [--no-bf16]
-Env: PIC1DP_PHYSICS_N_BOT / _N_TS / _N_LANDAU override marker counts.
+                            [--skip-multimode] [--quick]
+Env: PIC1DP_PHYSICS_N_BOT / _N_TS / _N_LANDAU / _N_MM override marker counts.
 """
 
 from __future__ import annotations
@@ -29,6 +38,7 @@ import argparse
 import json
 import os
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -50,19 +60,29 @@ def _fit_gamma(t, e, window, peaks_only=False):
     return float(np.polyfit(t[idx], np.log(e[idx]), 1)[0] / 2.0)
 
 
-def _run_case(cfg, theory_gamma: float, window, peaks_only=False):
+def _findpeak(t, e, window):
+    """Saturation peak of int E^2 dx in [t1, t2] (reference
+    tools/OutputData.py:172-180: the max and its time)."""
+    import numpy as np
+
+    lo, hi = window
+    m = (t >= lo) & (t <= hi)
+    i = int(np.argmax(e[m]))
+    return float(t[m][i]), float(e[m][i])
+
+
+def _run_case(cfg, out_path=None):
     import numpy as np
 
     from pic1dp_tpu import Simulation
 
     snaps = []
     t0 = time.perf_counter()
-    Simulation(cfg).run(snapshot_callback=snaps.append)
+    Simulation(cfg, out_path=out_path).run(snapshot_callback=snaps.append)
     wall = time.perf_counter() - t0
     t = np.array([s["time"] for s in snaps])
     e = np.array([s["field_energy"] for s in snaps])
-    gamma = _fit_gamma(t, e, window, peaks_only)
-    return gamma, abs(gamma - theory_gamma) / abs(theory_gamma), wall
+    return t, e, wall
 
 
 def main() -> int:
@@ -72,6 +92,10 @@ def main() -> int:
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--no-bf16", action="store_true",
                     help="skip the bf16_weights error-budget variants")
+    ap.add_argument("--skip-multimode", action="store_true",
+                    help="skip the nmode=4 cases")
+    ap.add_argument("--quick", action="store_true",
+                    help="shorten the PRE83 run to t=100 (no saturation row)")
     args = ap.parse_args()
 
     import jax
@@ -87,9 +111,14 @@ def main() -> int:
 
         enable_compilation_cache()
 
+    import dataclasses
+
     import numpy as np
 
-    from pic1dp_tpu.analysis.dispersion import Dispersion, species_for_config
+    from pic1dp_tpu.analysis.dispersion import (Dispersion,
+                                                species_for_config,
+                                                structure_correlation)
+    from pic1dp_tpu.analysis.output_data import OutputData
     from pic1dp_tpu.config import (bump_on_tail_default, landau_damping,
                                    two_stream)
 
@@ -97,20 +126,37 @@ def main() -> int:
     log(f"backend: {backend}  dtype: {dtype}")
     results = []
 
-    def record(case, cfg, gamma_theory, window, peaks_only=False):
-        gamma, rel, wall = _run_case(cfg, gamma_theory, window, peaks_only)
-        row = {"case": case, "gamma_sim": gamma, "gamma_theory": gamma_theory,
-               "rel_err": rel, "dtype": cfg.dtype,
-               "bf16_weights": cfg.bf16_weights, "backend": backend,
-               "n_markers": cfg.nparticle_max, "wall_s": round(wall, 2)}
+    def emit(row):
         results.append(row)
         print(json.dumps(row), flush=True)
         return row
 
-    import dataclasses
+    def record(case, cfg, gamma_theory, window, peaks_only=False,
+               sat_window=None, out_path=None):
+        t, e, wall = _run_case(cfg, out_path=out_path)
+        gamma = _fit_gamma(t, e, window, peaks_only)
+        row = {"case": case, "gamma_sim": gamma, "gamma_theory": gamma_theory,
+               "rel_err": abs(gamma - gamma_theory) / abs(gamma_theory),
+               "dtype": cfg.dtype, "bf16_weights": cfg.bf16_weights,
+               "backend": backend, "n_markers": cfg.nparticle_max,
+               "wall_s": round(wall, 2)}
+        if sat_window is not None:
+            st, sl = _findpeak(t, e, sat_window)
+            row["saturation_time"] = st
+            row["saturation_level"] = sl
+        return emit(row)
+
+    def _ts_disp(k):
+        d = Dispersion([s for s in species_for_config(
+            two_stream(nparticle=2048, verbosity=0))], k)
+        d._guesses = [0.01 + 0.3j, 0.02 + 0.5j, 0.05 + 0.4j]
+        return d
 
     # --- case 1: linear Landau damping (BASELINE.md config 2) ------------
-    n_lan = int(float(os.environ.get("PIC1DP_PHYSICS_N_LANDAU", 102_400)))
+    # 2^22 markers on chip: damping-rate noise scales ~1/sqrt(N), so the
+    # chip case runs 40x the r02 marker count for a sub-0.5% anchor
+    n_lan = int(float(os.environ.get(
+        "PIC1DP_PHYSICS_N_LANDAU", 102_400 if on_cpu else 2**22)))
     n_lan = (n_lan + 2047) // 2048 * 2048
     cfg = landau_damping(nx=64, nparticle=n_lan, k=0.5, amp=1e-4,
                          time_max=20.0, output_interval=0.1, dtype=dtype,
@@ -120,42 +166,145 @@ def main() -> int:
     record("landau_damping_k0.5", cfg, om.imag, (1.0, 15.0), peaks_only=True)
 
     # --- case 2: PRE 83, 056402 bump-on-tail headline case ----------------
+    # full t=500 nonlinear run (reference default, src/pic1dp_input.F90:35):
+    # gamma over the linear phase + saturation level/time via findpeak
     n_bot = int(float(os.environ.get(
         "PIC1DP_PHYSICS_N_BOT", 6_400_000 if not on_cpu else 1_000_000)))
     n_bot = (n_bot + 2047) // 2048 * 2048
-    t_end = 100.0
+    t_end = 100.0 if (on_cpu or args.quick) else 500.0
     cfg = bump_on_tail_default(nparticle_max=n_bot, time_max=t_end,
                                output_interval=1.0, dtype=dtype, verbosity=0)
     k = 2.0 * np.pi / cfg.lx
     om = Dispersion(species_for_config(cfg), k).solve_omega()
     log(f"bump-on-tail theory: k = {k:.4f}, omega = {om:.6g}")
-    window = (25.0, min(t_end * 0.85, 70.0))
-    record("bump_on_tail_pre83", cfg, om.imag, window)
+    window = (25.0, 70.0)
+    sat_window = (70.0, t_end) if t_end > 150.0 else None
+    record("bump_on_tail_pre83", cfg, om.imag, window, sat_window=sat_window)
     if not (on_cpu or args.no_bf16):
         record("bump_on_tail_pre83_bf16", dataclasses.replace(
-            cfg, bf16_weights=True), om.imag, window)
+            cfg, bf16_weights=True), om.imag, window, sat_window=sat_window)
 
     # --- case 3: nonlinear two-stream (BASELINE.md config 3) --------------
+    # gamma + saturation + delta-f mode-structure correlation in the late
+    # linear phase (t = 25, amplitude ~100x above noise, ~5x below sat)
     n_ts = int(float(os.environ.get("PIC1DP_PHYSICS_N_TS", 1_000_000)))
     n_ts = (n_ts + 2047) // 2048 * 2048
     cfg = two_stream(nparticle=n_ts, time_max=60.0, dtype=dtype,
                      output_interval=0.5, verbosity=0)
-    disp = Dispersion(species_for_config(cfg), 0.2)
-    disp._guesses = [0.01 + 0.3j, 0.02 + 0.5j, 0.05 + 0.4j]
+    disp = _ts_disp(0.2)
     om = disp.solve_omega()
     log(f"two-stream theory: omega = {om:.6g}")
-    record("two_stream_k0.2", cfg, om.imag, (15.0, 35.0))
+    with tempfile.TemporaryDirectory() as tmp:
+        record("two_stream_k0.2", cfg, om.imag, (15.0, 35.0),
+               sat_window=(30.0, 60.0), out_path=tmp)
+        od = OutputData(tmp)
+        sc = od.get_scalar_t()
+        it = int(np.argmin(np.abs(sc[0] - 25.0)))
+        corr = structure_correlation(od, it, 1, disp)
+        emit({"case": "two_stream_k0.2_mode_structure", "t_snapshot": 25.0,
+              "structure_corr": corr, "n_markers": cfg.nparticle_max,
+              "dtype": cfg.dtype, "bf16_weights": False, "backend": backend,
+              "rel_err": 1.0 - corr})
     if not (on_cpu or args.no_bf16):
         record("two_stream_k0.2_bf16", dataclasses.replace(
-            cfg, bf16_weights=True), om.imag, (15.0, 35.0))
+            cfg, bf16_weights=True), om.imag, (15.0, 35.0),
+            sat_window=(30.0, 60.0))
+
+    # --- case 4: multi-mode production path (modes 1..4, k1 = 0.1) --------
+    # Box sized so modes 1-3 are strongly unstable (gamma = 0.209 / 0.284 /
+    # 0.237) and mode 4 weakly (0.067).  Nonlinear run: modes 1-3 fit in
+    # their linear windows vs the per-k dispersion roots; mode 4 is recorded
+    # as nonlinearly SLAVED (driven by the m1+m3 / 2*m2 beats at ~gamma1+
+    # gamma3, a real physical effect, not a solver artifact).  Linear run:
+    # all FOUR modes evolve independently, each pinned to its root — mode
+    # 4's window ends before the faster modes' sampling shadow (~A_2(t)/
+    # sqrt(N)) reaches its amplitude.
+    if not args.skip_multimode:
+        n_mm = int(float(os.environ.get(
+            "PIC1DP_PHYSICS_N_MM", 524_288 if on_cpu else 2**23)))
+        n_mm = (n_mm + 2047) // 2048 * 2048
+        mm_modes = (1, 2, 3, 4)
+        k1 = 0.1
+        roots = {}
+        for m in mm_modes:
+            roots[m] = _ts_disp(k1 * m).solve_omega()
+        log("multimode theory: " + ", ".join(
+            f"m{m}: {roots[m].imag:.4f}" for m in mm_modes))
+
+        def mode_gammas(tmp, windows):
+            od = OutputData(tmp)
+            mt = od.get_mode_t()
+            tv = od.get_scalar_t()[0]
+            out = {}
+            for m, w in windows.items():
+                amp = np.hypot(mt[m - 1], mt[len(mm_modes) + m - 1])
+                sel = (tv >= w[0]) & (tv <= w[1]) & (amp > 0)
+                out[m] = float(np.polyfit(tv[sel], np.log(amp[sel]), 1)[0])
+            return out, od, tv
+
+        base = two_stream(nx=128, nparticle=n_mm, k=k1, v0=3.0,
+                          time_max=40.0, dtype=dtype, verbosity=0,
+                          output_interval=0.25)
+        cfg_nl = dataclasses.replace(
+            base, modes=mm_modes, init_modes=mm_modes,
+            init_amp_cos=(0.0,) * 4, init_amp_sin=(1e-4, 1e-5, 1e-4, 3e-3))
+        with tempfile.TemporaryDirectory() as tmp:
+            t, e, wall = _run_case(cfg_nl, out_path=tmp)
+            gam, od, tv = mode_gammas(
+                tmp, {1: (15.0, 35.0), 2: (15.0, 35.0), 3: (15.0, 35.0),
+                      4: (5.0, 20.0)})
+            for m in (1, 2, 3):
+                emit({"case": f"multimode_nonlinear_m{m}_k{k1 * m:.1f}",
+                      "gamma_sim": gam[m], "gamma_theory": roots[m].imag,
+                      "rel_err": abs(gam[m] - roots[m].imag) / roots[m].imag,
+                      "dtype": dtype, "bf16_weights": False,
+                      "backend": backend, "n_markers": n_mm,
+                      "wall_s": round(wall, 2)})
+            # slaved mode: informational (expected ~gamma1+gamma3 once the
+            # beat drive overtakes its slow linear growth)
+            emit({"case": "multimode_nonlinear_m4_slaved",
+                  "gamma_sim": gam[4], "gamma_theory": roots[4].imag,
+                  "gamma_beat_drive": roots[1].imag + roots[3].imag,
+                  "informational": True, "dtype": dtype,
+                  "bf16_weights": False, "backend": backend,
+                  "n_markers": n_mm})
+            # mode-structure correlation for two modes in the linear phase
+            it = int(np.argmin(np.abs(tv - 28.0)))
+            for m in (2, 3):
+                corr = structure_correlation(od, it, m, _ts_disp(k1 * m))
+                emit({"case": f"multimode_m{m}_mode_structure",
+                      "t_snapshot": 28.0, "structure_corr": corr,
+                      "rel_err": 1.0 - corr, "dtype": dtype,
+                      "bf16_weights": False, "backend": backend,
+                      "n_markers": n_mm})
+
+        cfg_li = dataclasses.replace(
+            base, linear=True, time_max=45.0, modes=mm_modes,
+            init_modes=mm_modes, init_amp_cos=(0.0,) * 4,
+            init_amp_sin=(1e-5, 1e-5, 1e-5, 1e-4))
+        with tempfile.TemporaryDirectory() as tmp:
+            t, e, wall = _run_case(cfg_li, out_path=tmp)
+            gam, od, tv = mode_gammas(
+                tmp, {1: (15.0, 40.0), 2: (15.0, 40.0), 3: (15.0, 40.0),
+                      4: (5.0, 28.0)})
+            for m in mm_modes:
+                emit({"case": f"multimode_linear_m{m}_k{k1 * m:.1f}",
+                      "gamma_sim": gam[m], "gamma_theory": roots[m].imag,
+                      "rel_err": abs(gam[m] - roots[m].imag) / roots[m].imag,
+                      "dtype": dtype, "bf16_weights": False,
+                      "backend": backend, "n_markers": n_mm,
+                      "wall_s": round(wall, 2)})
 
     if args.out:
         with open(args.out, "w") as fh:
             json.dump(results, fh, indent=1)
         log(f"wrote {args.out}")
 
-    worst = max(r["rel_err"] for r in results if not r["bf16_weights"])
-    log(f"worst f32/f64 rel_err: {worst:.2%}")
+    checked = [r for r in results
+               if not r.get("bf16_weights") and not r.get("informational")
+               and "gamma_sim" in r]
+    worst = max(r["rel_err"] for r in checked)
+    log(f"worst f32/f64 gamma rel_err: {worst:.2%}")
     return 0 if worst < 0.10 else 1
 
 

@@ -136,6 +136,41 @@ class Dispersion:
         return x, v, ms
 
 
+def structure_correlation(output_data, itime: int, mode: int,
+                          dispersion: "Dispersion",
+                          ispecies: int = 0) -> float:
+    """Quantitative delta-f mode-structure comparison (the reference's
+    mode-structure plot, tools/dispersion.py:159-206, turned into a metric).
+
+    Extracts the x-Fourier component `mode` of the simulated perturbed
+    distribution delta f(x, v) at snapshot `itime` and returns its
+    phase/amplitude-free complex correlation with the analytic eigenmode
+    structure g(v) = sum_s f'_s(v) * i / (omega - k v):
+
+        corr = |<delta f_k, g>| / (||delta f_k|| ||g||)  in [0, 1]
+
+    (1 = the simulated perturbation IS the theory eigenmode up to a complex
+    constant; arbitrary phase/amplitude are projected out by construction).
+    `dispersion` must be built at k = 2 pi mode / lx with the species
+    decomposition of the run's equilibrium (species_for_config)."""
+    om = dispersion.solve_omega()
+    k = dispersion.k
+    xv = output_data.get_ptcldist_xv(itime, ispecies, 2, periodicbound=False)
+    sim_k = np.fft.rfft(xv, axis=1)[:, mode]        # complex (nv_pd,)
+    v = output_data.v_pd
+    g = np.zeros(len(v), complex)
+    for s in dispersion.species:
+        vth2 = s.temperature / s.mass
+        fprime = (s.density * s.charge / s.temperature * (v - s.v0)
+                  / math.sqrt(2.0 * math.pi * vth2)
+                  * np.exp(-(v - s.v0) ** 2 / (2.0 * vth2)))
+        g += fprime * 1j / (om - k * v)
+    denom = np.linalg.norm(sim_k) * np.linalg.norm(g)
+    if denom == 0.0:
+        return 0.0
+    return float(abs(np.vdot(sim_k, g)) / denom)
+
+
 def two_stream1_dispfunc(k: float) -> Callable[[complex], complex]:
     """D(omega) for the two_stream1 equilibrium f0 = v^2 e^(-v^2/2)/sqrt(2 pi)
     (reference src/pic1dp_input.F90:51), which is NOT a Maxwellian mixture.

@@ -287,11 +287,16 @@ class Stepper:
             f"fused kernels.", RuntimeWarning, stacklevel=3)
 
     def _get_fused(self):
+        import os
+
         from pic1dp_tpu.ops.pallas_kernels import FusedStepper
 
         if self._fused is None:
-            self._fused = FusedStepper(self.cfg, axis_name=self.axis_name,
-                                       packed=self._packed)
+            # PIC1DP_PALLAS_ROWS: block-row sweep knob for on-chip tuning
+            # (default 128, the v5e optimum measured in docs/performance.md)
+            self._fused = FusedStepper(
+                self.cfg, axis_name=self.axis_name, packed=self._packed,
+                max_rows=int(os.environ.get("PIC1DP_PALLAS_ROWS", "128")))
         return self._fused
 
     def _step_spectral_pallas(self, state: SimState) -> SimState:

@@ -76,12 +76,13 @@ def main():
             best = min(best, (tb - ta) / (2 * k))
         return max(best, 1e-12)
 
-    # ---- 1. real substep kernels, f32 vs packed ----
-    def kernel_rows(packed):
+    # ---- 1. real substep kernels, f32 vs packed (x stream_v1) ----
+    def kernel_rows(packed, stream_v1=False):
         import dataclasses
 
         c = dataclasses.replace(cfg, bf16_weights=packed)
-        fused = FusedStepper(c, interpret=False, packed=packed)
+        fused = FusedStepper(c, interpret=False, packed=packed,
+                             stream_v1=stream_v1)
         p_in = pack_pw(p) if packed else p
 
         def build_ss1(k):
@@ -89,7 +90,8 @@ def main():
             def run(x, v, p, w, mre, mim):
                 def body(carry, _):
                     cc, pw = carry
-                    w1, (pc, ps) = fused.substep1(x + cc, v, pw, w, mre, mim)
+                    w1, _v1, (pc, ps) = fused.substep1(x + cc, v, pw, w,
+                                                       mre, mim)
                     pw = w1 if packed else pw
                     s = jnp.sum(pc) + jnp.sum(ps)
                     return (1e-30 * s.astype(x.dtype), pw), None
@@ -98,15 +100,16 @@ def main():
                 return out
             return run
 
-        w1 = jax.jit(lambda *a: fused.substep1(*a)[0])(x, v, p_in, w, mre, mim)
+        w1, v1, _ = jax.jit(lambda *a: fused.substep1(*a))(
+            x, v, p_in, w, mre, mim)
 
         def build_ss2(k):
             @jax.jit
-            def run(x, v, p, w, w1, mre, mim):
+            def run(x, v, p, w, w1, v1, mre, mim):
                 def body(cc, _):
                     _x2, _v2, _w2, (pc, ps) = fused.substep2(
                         x + cc, v, w1 if packed else p, w,
-                        None if packed else w1, mre, mim, mre, mim)
+                        None if packed else w1, mre, mim, mre, mim, v1=v1)
                     s = jnp.sum(pc) + jnp.sum(ps)
                     return 1e-30 * s.astype(x.dtype), None
                 out, _ = jax.lax.scan(body, jnp.zeros((), x.dtype), None,
@@ -114,72 +117,103 @@ def main():
                 return out
             return run
 
+        if v1 is None:
+            v1 = w1
         t1 = slope(build_ss1, (x, v, p_in, w, mre, mim))
-        t2 = slope(build_ss2, (x, v, p_in, w, w1, mre, mim))
-        name = "packed" if packed else "f32"
-        fl1 = 5 * n * 4  # ss1: 4 reads + 1 write, all f32-width
-        fl2 = (7 if packed else 8) * n * 4
-        log(f"{name:>7} ss1: {t1 * 1e3:7.3f} ms  {fl1 / t1 / 1e9:6.1f} GB/s"
+        t2 = slope(build_ss2, (x, v, p_in, w, w1, v1, mre, mim))
+        name = ("packed" if packed else "f32") + ("+v1" if stream_v1 else "")
+        fl1 = (6 if stream_v1 else 5) * n * 4
+        fl2 = ((8 if stream_v1 else 7) if packed
+               else (9 if stream_v1 else 8)) * n * 4
+        log(f"{name:>10} ss1: {t1 * 1e3:7.3f} ms  {fl1 / t1 / 1e9:6.1f} GB/s"
             f"   ss2: {t2 * 1e3:7.3f} ms  {fl2 / t2 / 1e9:6.1f} GB/s"
             f"   step: {(t1 + t2) * 1e3:7.3f} ms")
         return t1, t2
 
     # ---- 2. stream-only microkernels (same shape/alias pattern) ----
-    def stream_only(n_read, n_write, alias, label):
+    # Honest traffic accounting: the scan carry enters through ONE input
+    # (defeats loop-invariant hoisting of the opaque pallas_call) and exits
+    # through a tiny (8,128) block-sum accumulator output (mimics the real
+    # kernels' projection tile) — HBM traffic is exactly the streams.
+    def stream_only(n_read, n_write, alias, label, rows=128, mult=1.0):
         nrows = n // 128
-        rows = 128
 
         def kern(*refs):
-            ins, outs = refs[:n_read], refs[n_read:]
+            ins = refs[:n_read]
+            outs = refs[n_read:n_read + n_write]
+            acc_ref = refs[-1]
             acc = ins[0][:]
             for r in ins[1:]:
                 acc = acc + r[:]
-            for o in outs:
-                o[:] = acc
-                acc = acc + 1.0
+            for j, o in enumerate(outs):
+                o[:] = acc * (1.0 + 0.25 * j)
+
+            @pl.when(pl.program_id(0) == 0)
+            def _():
+                acc_ref[:] = jnp.zeros_like(acc_ref)
+
+            r = acc.shape[0]
+            acc_ref[:] += jnp.sum(acc.reshape(r // 8, 8, 128), axis=0)
 
         blk = pl.BlockSpec((rows, 128), lambda b: (b, 0),
                            memory_space=pltpu.VMEM)
+        acc_blk = pl.BlockSpec((8, 128), lambda b: (0, 0),
+                               memory_space=pltpu.VMEM)
         call = pl.pallas_call(
             kern,
             grid_spec=pl.GridSpec(grid=(nrows // rows,),
                                   in_specs=[blk] * n_read,
-                                  out_specs=tuple([blk] * n_write)),
+                                  out_specs=tuple([blk] * n_write
+                                                  + [acc_blk])),
             out_shape=tuple([jax.ShapeDtypeStruct((nrows, 128), jnp.float32)
-                             for _ in range(n_write)]),
+                             for _ in range(n_write)]
+                            + [jax.ShapeDtypeStruct((8, 128), jnp.float32)]),
             input_output_aliases=dict(alias),
         )
 
-        arrs = [jnp.asarray(a[0].reshape(nrows, 128)) for a in (x, v, p, w)][:n_read]
+        arrs = [jnp.asarray(a[0].reshape(nrows, 128))
+                for a in (x, v, p, w)][:n_read]
 
         def build(k):
             @jax.jit
             def run(*arrs):
                 def body(c, _):
-                    outs = call(*[a + c for a in arrs])
-                    return 1e-30 * jnp.sum(outs[0]), None
+                    outs = call(arrs[0] + c, *arrs[1:])
+                    return 1e-30 * jnp.sum(outs[-1]), None
                 out, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), None,
                                       length=k)
                 return out
             return run
 
         t = slope(build, tuple(arrs))
-        traffic = (n_read + n_write) * n * 4
+        # the `arrs[0] + c` temp adds one read+write of N outside the kernel
+        traffic = (n_read + n_write + 2) * n * 4
         log(f"{label}: {t * 1e3:7.3f} ms  {traffic / t / 1e9:6.1f} GB/s "
-            f"({n_read}r+{n_write}w, alias={dict(alias)})")
+            f"({n_read}r+{n_write}w+carrytemp, rows={rows}, "
+            f"alias={dict(alias)})")
         return t
 
     log("-- real kernels --")
     f1, f2 = kernel_rows(packed=False)
     p1, p2 = kernel_rows(packed=True)
+    kernel_rows(packed=False, stream_v1=True)
+    kernel_rows(packed=True, stream_v1=True)
 
-    log("-- stream-only ceilings (same block pipeline) --")
+    log("-- stream-only ceilings (same block pipeline; GB/s incl. the "
+        "carry-temp stream) --")
     s1a = stream_only(4, 1, {3: 0}, "ss1-pattern aliased   ")
-    s1n = stream_only(4, 1, {}, "ss1-pattern no-alias  ")
     s2a = stream_only(4, 3, {0: 0, 1: 1, 3: 2}, "ss2-pattern aliased   ")
     s2n = stream_only(4, 3, {}, "ss2-pattern no-alias  ")
+    for rows in (256, 512):
+        stream_only(4, 3, {0: 0, 1: 1, 3: 2}, f"ss2-pattern rows={rows:<4}",
+                    rows=rows)
+    # stream-count scaling: if time tracks total streams the pipeline is
+    # volume-bound; if flat, it is issue/latency-bound
+    s31 = stream_only(3, 1, {2: 0}, "3r+1w aliased         ")
+    s53 = stream_only(4, 4, {0: 0, 1: 1, 2: 2, 3: 3}, "4r+4w aliased         ")
 
-    log("-- compute overhang (kernel - stream-only, ms) --")
+    log("-- compute overhang (kernel - stream-only, ms; stream-only "
+        "includes +2N carry temp the real loops also pay once) --")
     log(f"f32    ss1: {(f1 - s1a) * 1e3:+7.3f}   ss2: {(f2 - s2a) * 1e3:+7.3f}")
     log(f"packed ss1: {(p1 - s1a) * 1e3:+7.3f}   ss2: {(p2 - s2a) * 1e3:+7.3f}")
 

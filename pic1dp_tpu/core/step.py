@@ -102,6 +102,13 @@ class Stepper:
                         and self.dtype == jnp.float32
                         and os.environ.get("PIC1DP_BF16_STREAMS") is None
                         and bool(int(os.environ.get("PIC1DP_PACKED", "1"))))
+        # stream the midpoint velocities v1 between the fused substeps
+        # instead of recomputing them: +2N HBM floats for one less trig
+        # gather chain — the right trade once the kernels are VPU-bound
+        # (PIC1DP_STREAM_V1=0 reverts to the recompute layout)
+        self._stream_v1 = (not cfg.linear and cfg.deltaf
+                           and bool(int(os.environ.get(
+                               "PIC1DP_STREAM_V1", "1"))))
         self.spectral = SpectralOperator.create(cfg.nx, cfg.modes, cfg.lx, self.dtype)
         self.sp = dist.SpeciesParams.from_config(cfg, self.dtype)
         self.step = jax.jit(self._step)
@@ -296,6 +303,7 @@ class Stepper:
             # (default 128, the v5e optimum measured in docs/performance.md)
             self._fused = FusedStepper(
                 self.cfg, axis_name=self.axis_name, packed=self._packed,
+                stream_v1=self._stream_v1,
                 max_rows=int(os.environ.get("PIC1DP_PALLAS_ROWS", "128")))
         return self._fused
 
@@ -334,7 +342,7 @@ class Stepper:
         x0, v0, w0 = state.x, state.v, state.w
         live = state.live
 
-        w1, (pc1, ps1) = fused.substep1(
+        w1, v1, (pc1, ps1) = fused.substep1(
             x0, v0, p_stream, w0, state.mode_re, state.mode_im)
         pc1, ps1 = self._psum((pc1, ps1))
         mre1, mim1 = spectral_ops.solve_modes_from_projections(
@@ -345,7 +353,7 @@ class Stepper:
         p2 = w1 if fused.packed else p_stream
         x2, v2, w2, (pc2, ps2) = fused.substep2(
             x0, v0, p2, w0, None if fused.packed else w1,
-            state.mode_re, state.mode_im, mre1, mim1)
+            state.mode_re, state.mode_im, mre1, mim1, v1=v1)
         pc2, ps2 = self._psum((pc2, ps2))
         mre2, mim2 = spectral_ops.solve_modes_from_projections(
             pc2, ps2, self.spectral.grad_inv, cfg.lx)

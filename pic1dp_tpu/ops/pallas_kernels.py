@@ -283,7 +283,8 @@ def _trig_block(x, lx, nx: int, modes, dtype):
 
 def make_substep_call(cfg: Config, s: int, substep: int, n: int, *,
                       max_rows: int = 128, interpret: bool = False,
-                      axis_name: str | None = None, packed: bool = False):
+                      axis_name: str | None = None, packed: bool = False,
+                      stream_v1: bool = False):
     """Build the fused substep kernel for species `s`.
 
     substep 1:  fn(x0, v0, p, w0, mode_re0, mode_im0)
@@ -309,6 +310,14 @@ def make_substep_call(cfg: Config, s: int, substep: int, n: int, *,
                     over pw, which dies here)
         substep 2:  fn(x0, v0, pw', w0, *mode_scalars) -> (x2, v2, w2, proj2)
     12 N stream-floats per step, every write in-place, all tiles f32.
+
+    `stream_v1=True` (nonlinear delta-f only): substep 1 additionally
+    writes the midpoint velocities v1 (bitwise the same value substep 2
+    would recompute) and substep 2 reads them instead of re-deriving them —
+    trades +2 N stream-floats for dropping substep 2's step-start trig
+    gather chain (the kernels are VPU-bound, not DMA-bound, once the
+    in-place aliasing is on; measured on v5e).  Substep 2 then takes only
+    (mode_re1, mode_im1).
     """
     if n % 1024:
         raise ValueError(
@@ -352,9 +361,13 @@ def make_substep_call(cfg: Config, s: int, substep: int, n: int, *,
     deposit_scale = sp.charge  # val = charge * (w' | p)
     has_v = not cfg.linear     # v stream updated
     has_w = cfg.deltaf         # w stream updated
-    n_scal = 2 if substep == 1 else (4 if has_v else 2)
-    n_pin = 4 if (substep == 1 or packed) else 4 + (1 if has_w else 0)
-    n_out = ((1 if has_w else 0) if substep == 1
+    if stream_v1 and not (has_v and has_w):
+        raise ValueError("stream_v1 requires the nonlinear delta-f layout")
+    n_scal = 2 if substep == 1 else (4 if (has_v and not stream_v1) else 2)
+    extra2 = ((0 if (packed or not has_w) else 1)
+              + (1 if stream_v1 else 0))
+    n_pin = 4 if substep == 1 else 4 + extra2
+    n_out = (((1 if has_w else 0) + (1 if stream_v1 else 0)) if substep == 1
              else 1 + (1 if has_v else 0) + (1 if has_w else 0))
 
     def gather_e(x_at, mre_ref, mim_ref):
@@ -386,6 +399,7 @@ def make_substep_call(cfg: Config, s: int, substep: int, n: int, *,
         x_ref, v_ref, p_ref, w_ref, *rest = in_refs
         scal = rest[-n_scal:]
         w1_ref = rest[0] if (substep == 2 and has_w and not packed) else None
+        v1_ref = rest[-n_scal - 1] if (substep == 2 and stream_v1) else None
         proj_ref = out_refs[-1]
 
         x0 = x_ref[:]
@@ -400,21 +414,31 @@ def make_substep_call(cfg: Config, s: int, substep: int, n: int, *,
         if substep == 1:
             # half push from the step-start field
             e_p0, _ = gather_e(x0, scal[0], scal[1])
-            x_new, _, w_new = push(x0, v0, p, w0, v0, w0, e_p0, dt_half)
+            x_new, v_new, w_new = push(x0, v0, p, w0, v0, w0, e_p0, dt_half)
+            oi = 0
             if has_w:
                 # w1 is an intra-step stream (consumed only by substep 2's
                 # drive term), quantized to the stream dtype on store; the
                 # midpoint projections below use the full-precision w_new
                 if packed:
-                    out_refs[0][:] = _pack_lo(pw_bits, w_new)
+                    out_refs[oi][:] = _pack_lo(pw_bits, w_new)
                 else:
-                    out_refs[0][:] = w_new.astype(out_refs[0].dtype)
+                    out_refs[oi][:] = w_new.astype(out_refs[oi].dtype)
+                oi += 1
+            if stream_v1:
+                # v_new here IS substep 2's v1 (same expression, same
+                # inputs, same baked dt_half * q/m constant)
+                out_refs[oi][:] = v_new
         else:
-            # re-derive the midpoint positions/velocities in-register
-            # (identical code + inputs as substep 1: bitwise-equal midpoint);
-            # the weights w1 are streamed in — their recompute would need the
-            # -f0'/f0 chain and tip this substep compute-bound
-            if has_v:
+            # derive the midpoint positions/velocities: x1 is recomputed
+            # in-register; v1 is either streamed in (stream_v1 — drops the
+            # whole step-start trig gather below) or recomputed bitwise-
+            # identically to substep 1 from the step-start mode scalars.
+            # The weights w1 are always streamed — their recompute would
+            # need the -f0'/f0 chain on top
+            if stream_v1:
+                v1 = v1_ref[:]
+            elif has_v:
                 e_p0, _ = gather_e(x0, scal[0], scal[1])
                 v1 = v0 + (dt_half * q_over_m) * e_p0
             else:
@@ -461,13 +485,18 @@ def make_substep_call(cfg: Config, s: int, substep: int, n: int, *,
                           memory_space=pltpu.VMEM)
     mblock = pl.BlockSpec((1, nmode), lambda b: (0, 0),
                           memory_space=pltpu.SMEM)
-    # per-stream dtypes: substep 1's sole particle output is the w1 stream
-    # (the full packed word in packed mode); substep 2's outputs (persistent
-    # state) stay full precision
-    out_dtypes = ([dtype if packed else w1_sd] if substep == 1 and has_w
-                  else [dtype] * n_out)
+    # per-stream dtypes: substep 1's particle outputs are the w1 stream
+    # (the full packed word in packed mode) and, under stream_v1, the f32
+    # midpoint velocities; substep 2's outputs (persistent state) stay
+    # full precision
+    if substep == 1:
+        out_dtypes = ([dtype if packed else w1_sd] if has_w else []) \
+            + ([dtype] if stream_v1 else [])
+    else:
+        out_dtypes = [dtype] * n_out
     in_dtypes = [dtype, dtype, dtype if packed else p_sd, dtype] \
-        + ([w1_sd] if (substep == 2 and has_w and not packed) else [])
+        + ([w1_sd] if (substep == 2 and has_w and not packed) else []) \
+        + ([dtype] if (substep == 2 and stream_v1) else [])
     grid_spec = pl.GridSpec(
         grid=(nblocks,),
         in_specs=[pblock] * n_pin + [mblock] * n_scal,
@@ -537,7 +566,7 @@ class FusedStepper:
 
     def __init__(self, cfg: Config, interpret: bool | None = None,
                  axis_name: str | None = None, max_rows: int = 128,
-                 packed: bool = False):
+                 packed: bool = False, stream_v1: bool = False):
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
         self.cfg = cfg
@@ -550,6 +579,10 @@ class FusedStepper:
         # carries the packed f32 stream; substep 1 returns the refreshed
         # stream in the w1 slot; substep 2 takes it in the p slot (w1=None)
         self.packed = packed
+        # stream_v1: substep 1 also writes the midpoint velocities, substep
+        # 2 reads them instead of recomputing (VPU-bound tradeoff, see
+        # make_substep_call); only defined for the nonlinear delta-f layout
+        self.stream_v1 = stream_v1 and self.has_v and self.has_w
         self._subs: dict = {}
 
     def _sub(self, substep: int, s: int, n: int):
@@ -558,28 +591,36 @@ class FusedStepper:
             self._subs[key] = make_substep_call(
                 self.cfg, s, substep, n, max_rows=self.max_rows,
                 interpret=self.interpret, axis_name=self.axis_name,
-                packed=self.packed)
+                packed=self.packed, stream_v1=self.stream_v1)
         return self._subs[key]
 
     def substep1(self, x, v, p, w, mode_re, mode_im):
         """(ns, N) step-start arrays + step-start mode scalars
-        -> (w1, (p_c, p_s)): the streamed midpoint weights (= w when w is
-        frozen; the refreshed packed p||w1 stream in packed mode) and the
-        raw midpoint-deposit projections summed over species.  x1/v1 are
-        not written — substep 2 re-derives them."""
+        -> (w1, v1, (p_c, p_s)): the streamed midpoint weights (= w when w
+        is frozen; the refreshed packed p||w1 stream in packed mode), the
+        streamed midpoint velocities (None unless stream_v1), and the raw
+        midpoint-deposit projections summed over species."""
         outs = self._run(1, (x, v, p, w), (mode_re, mode_im))
         proj = sum(o[-1] for o in outs)
-        w1 = jnp.stack([o[0] for o in outs]) if self.has_w else w
-        return w1, (proj[0], proj[1])
+        i = 0
+        w1 = w
+        if self.has_w:
+            w1 = jnp.stack([o[i] for o in outs])
+            i += 1
+        v1 = jnp.stack([o[i] for o in outs]) if self.stream_v1 else None
+        return w1, v1, (proj[0], proj[1])
 
     def substep2(self, x, v, p, w, w1, mode_re0, mode_im0, mode_re1,
-                 mode_im1):
-        """Step-start state + streamed midpoint weights + mode scalars
-        -> (x2, v2, w2, (p_c, p_s)).  Frozen streams return the inputs.
-        Packed mode: pass substep 1's refreshed stream as `p`, w1=None."""
-        particle = (x, v, p, w) + (
-            (w1,) if self.has_w and not self.packed else ())
-        scal = ((mode_re0, mode_im0, mode_re1, mode_im1) if self.has_v
+                 mode_im1, v1=None):
+        """Step-start state + streamed midpoint weights/velocities + mode
+        scalars -> (x2, v2, w2, (p_c, p_s)).  Frozen streams return the
+        inputs.  Packed mode: pass substep 1's refreshed stream as `p`,
+        w1=None.  stream_v1: pass substep 1's v1."""
+        particle = (x, v, p, w) \
+            + ((w1,) if self.has_w and not self.packed else ()) \
+            + ((v1,) if self.stream_v1 else ())
+        scal = ((mode_re0, mode_im0, mode_re1, mode_im1)
+                if self.has_v and not self.stream_v1
                 else (mode_re1, mode_im1))
         outs = self._run(2, particle, scal)
         proj = sum(o[-1] for o in outs)

@@ -214,8 +214,8 @@ def measure_phase_split(stepper, state, steps: int = 10) -> "OrderedDict[str, fl
                 # rides the scan carry exactly as in the production step
                 def body(carry, _):
                     c, pw = carry
-                    w1_out, (pc, ps) = fused.substep1(x + c, v, pw, w,
-                                                      mre, mim)
+                    w1_out, _v1, (pc, ps) = fused.substep1(x + c, v, pw, w,
+                                                           mre, mim)
                     s = red(jnp.sum(pc) + jnp.sum(ps))
                     pw = w1_out if fused.packed else pw
                     return (jnp.asarray(1e-30, x.dtype) * s.astype(x.dtype),
@@ -224,26 +224,30 @@ def measure_phase_split(stepper, state, steps: int = 10) -> "OrderedDict[str, fl
                 return out
             return wrap(run, (PSPEC,) * 4 + (RSPEC, RSPEC))
 
-        w1 = wrap(lambda *a: fused.substep1(*a)[0],
-                  (PSPEC,) * 4 + (RSPEC, RSPEC),
-                  out_specs=PSPEC)(x, v, p_in, w, mre, mim)
+        def ss1_streams(*a):
+            w1_out, v1_out, _ = fused.substep1(*a)
+            return (w1_out, v1_out) if fused.stream_v1 else (w1_out, w1_out)
+
+        w1, v1 = wrap(ss1_streams, (PSPEC,) * 4 + (RSPEC, RSPEC),
+                      out_specs=(PSPEC, PSPEC))(x, v, p_in, w, mre, mim)
 
         def build_ss2(k):
-            def run(x, v, p, w, w1, mre, mim):
+            def run(x, v, p, w, w1, v1, mre, mim):
                 def body(c, _):
                     _x2, _v2, _w2, (pc, ps) = fused.substep2(
                         x + c, v, w1 if fused.packed else p, w,
-                        None if fused.packed else w1, mre, mim, mre, mim)
+                        None if fused.packed else w1, mre, mim, mre, mim,
+                        v1=v1 if fused.stream_v1 else None)
                     s = red(jnp.sum(pc) + jnp.sum(ps))
                     return jnp.asarray(1e-30, x.dtype) * s.astype(x.dtype), None
                 out, _ = jax.lax.scan(body, zero(), None, length=k)
                 return out
-            return wrap(run, (PSPEC,) * 5 + (RSPEC, RSPEC))
+            return wrap(run, (PSPEC,) * 6 + (RSPEC, RSPEC))
 
         table["substep-1 kernel (fused)"] = _slope(
             build_ss1, (x, v, p_in, w, mre, mim), steps)
         table["substep-2 kernel (fused)"] = _slope(
-            build_ss2, (x, v, p_in, w, w1, mre, mim), steps)
+            build_ss2, (x, v, p_in, w, w1, v1, mre, mim), steps)
 
     table["sum of phases (unfused)"] = (
         table["push particle"] + table["shape + gather E"]

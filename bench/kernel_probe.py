@@ -62,19 +62,21 @@ def main():
     mim = jnp.asarray([5e-5], jnp.float32)
 
     def slope(build, args, k=8):
+        # per-side minima: robust to additive tunnel hiccups, which the
+        # paired min_i(tb_i - ta_i) form is not (a +15 ms glitch on one ta
+        # deflates that pair's slope and wins the min)
         fa, fb = build(k), build(3 * k)
         np.asarray(fa(*args))
         np.asarray(fb(*args))
-        best = np.inf
-        for _ in range(3):
+        tas, tbs = [], []
+        for _ in range(4):
             t0 = time.perf_counter()
             np.asarray(fa(*args))
-            ta = time.perf_counter() - t0
+            tas.append(time.perf_counter() - t0)
             t0 = time.perf_counter()
             np.asarray(fb(*args))
-            tb = time.perf_counter() - t0
-            best = min(best, (tb - ta) / (2 * k))
-        return max(best, 1e-12)
+            tbs.append(time.perf_counter() - t0)
+        return max((min(tbs) - min(tas)) / (2 * k), 1e-12)
 
     # ---- 1. real substep kernels, f32 vs packed (x stream_v1) ----
     def kernel_rows(packed, stream_v1=False):

@@ -99,15 +99,16 @@ def main() -> None:
             f"{time.perf_counter() - t0:.1f}s")
         np.asarray(multi_b(state).electric)
 
-        elapsed = 1e30
-        for _ in range(2):
+        # per-side minima (robust to additive latency hiccups; see bench.py)
+        tas, tbs = [], []
+        for _ in range(3):
             t0 = time.perf_counter()
             np.asarray(multi_a(state).electric)
-            t_a = time.perf_counter() - t0
+            tas.append(time.perf_counter() - t0)
             t0 = time.perf_counter()
             np.asarray(multi_b(state).electric)
-            t_b = time.perf_counter() - t0
-            elapsed = min(elapsed, (t_b - t_a) / 2)
+            tbs.append(time.perf_counter() - t0)
+        elapsed = (min(tbs) - min(tas)) / 2
 
         rate = 2.0 * n * steps / elapsed          # 2 RK substeps per step
         per_dev = rate / n_dev

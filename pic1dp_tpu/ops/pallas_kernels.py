@@ -156,7 +156,11 @@ def _minus_dlnf0_dv_fast(eq, sp, v):
 # and separate-stream bf16 paths produce identical physics.
 # Stream budget per marker per step: 13 N f32 (plain) -> 12 N
 # (ss1: read x,v,w,pw write pw; ss2: read x,v,w,pw write x,v,w — every
-# write aliased over a dead input).
+# write aliased over a dead input); +2 N when stream_v1 trades the v1
+# recompute's trig chain for a stream (14 N measures FASTER than 12 N on
+# v5e: 1.649 vs 1.851 ms/step at 2^24 — the kernels sit right at the
+# fused-elementwise bandwidth band, ~570 GB/s, so a trig chain costs more
+# than 2 N floats of DMA; bench/probe_alias.py).
 
 _HI_MASK = np.uint32(0xFFFF0000)
 

@@ -49,16 +49,17 @@ def _slope(build_loop, args, k: int) -> float:
     fa, fb = build_loop(k), build_loop(3 * k)
     np.asarray(fa(*args))  # compile + warm both lengths
     np.asarray(fb(*args))
-    best = np.inf
-    for _ in range(2):
+    # per-side minima: latency noise is additive, so min(tb) - min(ta) is
+    # robust to tunnel hiccups that deflate the paired min_i(tb_i - ta_i)
+    tas, tbs = [], []
+    for _ in range(3):
         t0 = time.perf_counter()
         np.asarray(fa(*args))
-        ta = time.perf_counter() - t0
+        tas.append(time.perf_counter() - t0)
         t0 = time.perf_counter()
         np.asarray(fb(*args))
-        tb = time.perf_counter() - t0
-        best = min(best, (tb - ta) / (2 * k))
-    return max(best, 0.0)
+        tbs.append(time.perf_counter() - t0)
+    return max((min(tbs) - min(tas)) / (2 * k), 0.0)
 
 
 def measure_phase_split(stepper, state, steps: int = 10) -> "OrderedDict[str, float]":

@@ -61,7 +61,13 @@ def measure_baseline() -> float:
 
 def main() -> None:
     n = int(os.environ.get("PIC1DP_BENCH_N", 2**26))
-    n = (n + 2047) // 2048 * 2048  # pallas capacity granularity (bf16 tiles)
+    # Round the capacity so the fused kernel can tile (128, 128) blocks:
+    # rows is the largest divisor of n/128 that is <= 128, so a capacity
+    # that is merely % 2048 can force tiny blocks (n=1e8 % 2048 -> rows=88,
+    # ~12% slower).  16384 = 128 rows x 128 lanes keeps rows at the v5e
+    # optimum; extra slots load as dead markers (p = w = 0) and cost only
+    # their stream bytes.
+    n = (n + 16383) // 16384 * 16384
     nx = int(os.environ.get("PIC1DP_BENCH_NX", 1024))
     steps = int(os.environ.get("PIC1DP_BENCH_STEPS", 10))
 

@@ -24,11 +24,20 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
+    cpu = "--cpu" in sys.argv
+
+    import jax
+
+    if cpu:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
+
     import numpy as np
 
-    from pic1dp_tpu.utils.compile_cache import enable_compilation_cache
+    if not cpu:
+        from pic1dp_tpu.utils.compile_cache import enable_compilation_cache
 
-    enable_compilation_cache()
+        enable_compilation_cache()
 
     from pic1dp_tpu import Simulation
     from pic1dp_tpu.analysis.dispersion import Dispersion, species_for_config
@@ -47,7 +56,7 @@ def main():
 
     base = landau_damping(nx=64, nparticle=2**22, k=0.5, amp=1e-4,
                           time_max=20.0, output_interval=0.1,
-                          dtype="float32", verbosity=0)
+                          dtype="float64" if cpu else "float32", verbosity=0)
     th = Dispersion(species_for_config(base), 0.5).solve_omega().imag
     print(json.dumps({"theory_gamma": th}), flush=True)
 
@@ -58,8 +67,10 @@ def main():
             "n": cfg.nparticle_max, "dt": cfg.dt, "nx": cfg.nx,
             "seed": cfg.rng.seed, "wall_s": round(wall, 1)}), flush=True)
 
-    # noise scaling + seed scatter
-    for n in (2**20, 2**22, 2**24):
+    # noise scaling + seed scatter (2^22 first: its programs are already in
+    # the compile cache from bench/physics.py, so a wedged remote compile
+    # can't stall the whole sweep at the front)
+    for n in (2**22, 2**20, 2**24):
         for seed in (0, 1, 2):
             rng = dataclasses.replace(base.rng, seed=seed)
             run("noise", dataclasses.replace(base, nparticle_max=n, rng=rng))

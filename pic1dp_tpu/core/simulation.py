@@ -202,7 +202,11 @@ class Simulation:
                 "or check the configuration. Last checkpoint (if enabled) "
                 f"is in {self.checkpoint_path!r}.")
         return {"time": self.time, "field_energy": float(eng.field),
-                "marker": eng.marker, "total": eng.total, "pertb": eng.pertb}
+                "marker": eng.marker, "total": eng.total, "pertb": eng.pertb,
+                # kept-mode field amplitudes (already fetched above): the
+                # clean linear-phase observable — analysis.dispersion.
+                # fit_mode_omega estimates complex omega from their series
+                "mode_re": mode_re, "mode_im": mode_im}
 
     def _plain_steps_ahead(self, limit: int = 4096) -> int:
         """Number of upcoming steps with no output, optimization, or

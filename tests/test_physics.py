@@ -47,6 +47,16 @@ def test_landau_damping_rate():
     t, e = _run(cfg)
     gamma = _gamma_peaks(t, e, 1.0, 15.0)
     assert gamma == pytest.approx(omega.imag, rel=0.04)
+    # the two-pole mode-amplitude fit recovers BOTH gamma and omega_r
+    # (the peaks fit above can't see omega_r at all)
+    from pic1dp_tpu.analysis.dispersion import fit_mode_omega
+
+    snaps = _run.last_snaps
+    zre = np.array([s["mode_re"][0] for s in snaps])
+    zim = np.array([s["mode_im"][0] for s in snaps])
+    om_fit = fit_mode_omega(t, zre, zim, window=(5.0, 15.0))
+    assert om_fit.imag == pytest.approx(omega.imag, rel=0.03)
+    assert om_fit.real == pytest.approx(omega.real, rel=0.01)
 
 
 def test_bump_on_tail_growth_rate():

@@ -262,3 +262,29 @@ def test_sharded_checkpoint_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(getattr(sim2.state, f)),
                                       np.asarray(getattr(sim.state, f)))
     sim2.step_once()  # must be steppable after restore
+
+
+def test_fit_mode_omega_synthetic():
+    """Two-pole TLS fit (analysis.dispersion.fit_mode_omega): exact on the
+    noiseless standing-wave model, and stays within ~1% of gamma at an
+    end-of-window noise-to-signal ratio of ~1% (where plain LS linear
+    prediction is off by ~10% — the errors-in-variables bias)."""
+    import numpy as np
+
+    from pic1dp_tpu.analysis.dispersion import fit_mode_omega
+
+    om_true, g_true = 1.4157, -0.1534
+    t = np.arange(0.0, 15.0, 0.1)
+    z = ((0.7 * np.exp(-1j * om_true * t)
+          + 0.45 * np.exp(1j * (om_true * t + 0.3)))
+         * np.exp(g_true * t) * 1e-4)
+
+    om = fit_mode_omega(t, z.real, z.imag, window=(1.0, 14.0))
+    assert abs(om.imag - g_true) < 1e-10
+    assert abs(om.real - om_true) < 1e-10
+
+    rng = np.random.default_rng(0)
+    zz = z + 1e-7 * (rng.normal(size=t.size) + 1j * rng.normal(size=t.size))
+    om = fit_mode_omega(t, zz.real, zz.imag, window=(1.0, 14.0))
+    assert abs(om.imag - g_true) / abs(g_true) < 0.015
+    assert abs(om.real - om_true) / om_true < 0.005

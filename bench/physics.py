@@ -119,7 +119,7 @@ def main() -> int:
 
     import numpy as np
 
-    from pic1dp_tpu.analysis.dispersion import (Dispersion,
+    from pic1dp_tpu.analysis.dispersion import (Dispersion, fit_mode_omega,
                                                 species_for_config,
                                                 structure_correlation)
     from pic1dp_tpu.analysis.output_data import OutputData
@@ -173,8 +173,6 @@ def main() -> int:
                          verbosity=0, dt=0.025)
     om = Dispersion(species_for_config(cfg), 0.5).solve_omega()
     log(f"landau theory: omega = {om:.6g}")
-    from pic1dp_tpu.analysis.dispersion import fit_mode_omega
-
     t, e, wall, (zre, zim) = _run_case(cfg, want_modes=True)
     window = (5.0, 15.0) if on_cpu else (8.0, 18.0)  # above the 102k
     # noise floor on CPU; past the 2nd-root/transient shadow on chip
@@ -258,14 +256,20 @@ def main() -> int:
             f"m{m}: {roots[m].imag:.4f}" for m in mm_modes))
 
         def mode_gammas(tmp, windows):
+            # two-pole TLS fit per mode: these roots are purely growing
+            # (omega_r = 0), so the early signal is ~A cosh(gamma t) — a
+            # log|amp| slope UNDERSTATES gamma until the e^{-gamma t}
+            # partner dies (fatal for the slow m4); the two-pole model
+            # captures both branches exactly
             od = OutputData(tmp)
             mt = od.get_mode_t()
             tv = od.get_scalar_t()[0]
             out = {}
             for m, w in windows.items():
-                amp = np.hypot(mt[m - 1], mt[len(mm_modes) + m - 1])
-                sel = (tv >= w[0]) & (tv <= w[1]) & (amp > 0)
-                out[m] = float(np.polyfit(tv[sel], np.log(amp[sel]), 1)[0])
+                sel = (tv >= w[0]) & (tv <= w[1])
+                out[m] = fit_mode_omega(
+                    tv[sel], mt[m - 1][sel],
+                    mt[len(mm_modes) + m - 1][sel]).imag
             return out, od, tv
 
         base = two_stream(nx=128, nparticle=n_mm, k=k1, v0=3.0,

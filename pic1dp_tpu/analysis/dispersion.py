@@ -210,11 +210,24 @@ def fit_mode_omega(t, mode_re, mode_im, window=None):
     m3 = np.stack([z[2:], z[1:-1], z[:-2]], axis=1)
     v = np.linalg.svd(m3)[2][-1].conj()
     roots = np.roots(v / v[0])
-    # the exact model's two roots share modulus e^{gamma dt} and carry
-    # opposite phases +-omega dt; noise splits them — average the symmetric
-    # quantities instead of picking one root
-    gamma = float(np.mean(np.log(np.abs(roots)))) / dt_s
-    omega_r = float(np.mean(np.abs(np.angle(roots)))) / dt_s
+    mods = np.abs(roots)
+    angs = np.angle(roots)
+    mod_split = abs(float(np.log(mods[0]) - np.log(mods[1])))
+    if float(np.min(np.abs(angs))) > mod_split and angs[0] * angs[1] < 0:
+        # conjugate pair (propagating wave: omega_r dt dominates any noise
+        # split of the moduli, phases have opposite signs): both roots
+        # share modulus e^{gamma dt} — average the symmetric quantities
+        # instead of picking one root
+        gamma = float(np.mean(np.log(mods))) / dt_s
+        omega_r = float(np.mean(np.abs(angs))) / dt_s
+    else:
+        # non-propagating instability (e.g. two-stream inside the unstable
+        # band: omega_r = 0): the poles are e^{+gamma dt} and e^{-gamma dt}
+        # — distinct moduli, so averaging would cancel gamma to 0; the
+        # physical growing branch is the DOMINANT root
+        s = roots[np.argmax(mods)]
+        gamma = math.log(abs(s)) / dt_s
+        omega_r = abs(np.angle(s)) / dt_s
     return omega_r + 1j * gamma
 
 

@@ -288,3 +288,12 @@ def test_fit_mode_omega_synthetic():
     om = fit_mode_omega(t, zz.real, zz.imag, window=(1.0, 14.0))
     assert abs(om.imag - g_true) / abs(g_true) < 0.015
     assert abs(om.real - om_true) / om_true < 0.005
+
+    # growing non-propagating branch (two-stream-like: omega_r = 0, poles
+    # e^{+-gamma t}): early cosh shape would bias a log|amp| slope to ~0;
+    # the two-pole fit must take the dominant root, not average
+    g2 = 0.0672
+    zg = (0.5 * np.exp(g2 * t) + 0.5 * np.exp(-g2 * t)) * 1e-4 * (1 + 0.2j)
+    om = fit_mode_omega(t, zg.real, zg.imag, window=(0.0, 14.0))
+    assert abs(om.imag - g2) / g2 < 1e-8
+    assert abs(om.real) < 1e-8

@@ -78,6 +78,12 @@ def main():
         # follow-up sweep around the round-1 winner (packed+v1, alias=1)
         cases = [("1", True, False, 128),   # packed, recompute v1: 12N floats
                  ("1", True, True, 64), ("1", True, True, 256)]
+    elif len(sys.argv) > 2 and sys.argv[2] == "size":
+        # the per-marker rate degrades ~17% from 2^24 to 2^26 (bench vs
+        # probe round 1); rows sweep at the large size to see if bigger
+        # blocks amortize whatever degrades
+        cases = [("1", True, True, 128), ("1", True, True, 256),
+                 ("1", True, True, 512), ("0", True, True, 256)]
 
     log("-- real multi-step scan (bench-identical), ms/step --")
     for alias, packed, v1, rows in cases:

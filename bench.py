@@ -7,11 +7,13 @@ Prints ONE JSON line:
 
 "vs_baseline" divides by an estimate of the Fortran+PETSc reference on one
 host (its default 4 MPI ranks, Makefile:38-39).  The reference publishes no
-numbers and cannot be built here (no mpif90/PETSc), so the baseline is
-measured at bench time: bench/baseline_push.cpp reimplements the reference's
-serial per-rank hot loop (gather/push/deposit semantics of
-src/pic1dp_interaction.F90) in C++ -O3, and the single-core rate is
-multiplied by 4 ranks.  Falls back to 8.0e7 pushes/s if g++ is unavailable.
+numbers and cannot be built here (no mpif90/PETSc), so the stand-in is
+bench/baseline_push.cpp: the reference's serial per-rank hot loop
+(gather/push/deposit semantics of src/pic1dp_interaction.F90) in C++ -O3,
+single-core rate x 4 ranks.  Because the live measurement swings +-30% with
+host load, "vs_baseline" uses the pinned best-of-history stand-in rate
+(PINNED_BASELINE below) and "vs_baseline_live" the rate measured at bench
+time (falling back to 8.0e7 pushes/s if g++ is unavailable).
 
 Secondary metrics (deposition nnz/s, Poisson-solve us/step, per-phase table)
 go to stderr.
@@ -30,6 +32,15 @@ import time
 
 FALLBACK_BASELINE = 8.0e7  # pushes/s, one host: ~2e7/core x 4 ranks
 REF_RANKS = 4
+
+# Best-of-history C++ stand-in rate (pushes/s/core): the live measurement
+# swings +-30% with host load (CLAUDE.md; r01 3.864e7, r02 5.108e7,
+# r03 3.347e7), which made vs_baseline denominator noise.  The pinned value
+# is the FASTEST rate ever measured (round 2, 2026-08-20, idle host,
+# best-of-3), i.e. the most conservative denominator; "vs_baseline" in the
+# JSON uses it, "vs_baseline_live" carries the rerun-at-bench-time ratio.
+PINNED_BASELINE_PER_CORE = 5.108e7
+PINNED_BASELINE = PINNED_BASELINE_PER_CORE * REF_RANKS
 
 
 def log(msg: str) -> None:
@@ -149,7 +160,15 @@ def main() -> None:
         sb = multi_b(state)
         np.asarray(sb.electric)
         tbs.append(time.perf_counter() - t0)
-    elapsed = (min(tbs) - min(tas)) / (2 * steps) * steps
+    # /(2*steps) per step x steps back = /2 total; clamp like the other
+    # slope helpers so one tunnel hiccup on the warm side cannot yield a
+    # negative/inf headline (ADVICE r3).
+    elapsed = (min(tbs) - min(tas)) / 2
+    if elapsed <= 0:
+        raise RuntimeError(
+            f"non-positive scan slope ({min(tbs):.3f}s vs {min(tas):.3f}s): "
+            "tunnel noise exceeded the 2k-step difference; re-run on an "
+            "idle tunnel or raise PIC1DP_BENCH_STEPS")
     state = sb
 
     # 2 RK substeps per step, each pushing every marker
@@ -171,7 +190,8 @@ def main() -> None:
             "metric": "particles_pushed_per_sec_per_chip",
             "value": rate,
             "unit": "pushes/s",
-            "vs_baseline": rate / baseline,
+            "vs_baseline": rate / PINNED_BASELINE,
+            "vs_baseline_live": rate / baseline,
         }))
         return
 
@@ -282,7 +302,8 @@ def main() -> None:
         "metric": "particles_pushed_per_sec_per_chip",
         "value": rate,
         "unit": "pushes/s",
-        "vs_baseline": rate / baseline,
+        "vs_baseline": rate / PINNED_BASELINE,
+        "vs_baseline_live": rate / baseline,
     }))
 
 

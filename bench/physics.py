@@ -71,6 +71,9 @@ def _findpeak(t, e, window):
     return float(t[m][i]), float(e[m][i])
 
 
+_LAST_RUN = {}  # side-channel extras from the most recent _run_case
+
+
 def _run_case(cfg, out_path=None, want_modes=False):
     import numpy as np
 
@@ -82,6 +85,10 @@ def _run_case(cfg, out_path=None, want_modes=False):
     wall = time.perf_counter() - t0
     t = np.array([s["time"] for s in snaps])
     e = np.array([s["field_energy"] for s in snaps])
+    # total kinetic energy summed over species per snapshot (diagnostics
+    # "total" row; the full-f conservation check reads this)
+    _LAST_RUN["kinetic_total"] = np.array(
+        [float(np.sum(s["total"])) for s in snaps])
     if want_modes:
         zre = np.stack([s["mode_re"] for s in snaps], axis=1)
         zim = np.stack([s["mode_im"] for s in snaps], axis=1)
@@ -136,19 +143,40 @@ def main() -> int:
         return row
 
     def record(case, cfg, gamma_theory, window, peaks_only=False,
-               sat_window=None, out_path=None):
-        t, e, wall = _run_case(cfg, out_path=out_path)
-        gamma = _fit_gamma(t, e, window, peaks_only)
-        row = {"case": case, "gamma_sim": gamma, "gamma_theory": gamma_theory,
-               "rel_err": abs(gamma - gamma_theory) / abs(gamma_theory),
+               sat_window=None, out_path=None, mode_window=None,
+               omega_theory=None):
+        """One growth-rate row.  With mode_window, gamma_sim comes from the
+        two-pole TLS fit of the kept-mode series (fit_mode_omega — the
+        accurate estimator, VERDICT r3 item 6a) and the energy fit is kept
+        as the runinfo.py-parity column; without it, gamma_sim IS the
+        energy fit (reference tools/runinfo.py:114-122 semantics)."""
+        t, e, wall, (zre, zim) = _run_case(cfg, out_path=out_path,
+                                           want_modes=True)
+        gamma_energy = _fit_gamma(t, e, window, peaks_only)
+        row = {"case": case, "gamma_theory": gamma_theory,
                "dtype": cfg.dtype, "bf16_weights": cfg.bf16_weights,
                "backend": backend, "n_markers": cfg.nparticle_max,
                "wall_s": round(wall, 2)}
+        if mode_window is not None:
+            om_fit = fit_mode_omega(t, zre[0], zim[0], window=mode_window)
+            row["gamma_sim"] = om_fit.imag
+            row["gamma_energy_runinfo_parity"] = gamma_energy
+            row["fit"] = f"fit_mode_omega window {mode_window}"
+            if omega_theory is not None:
+                row["omega_sim"] = om_fit.real
+                row["omega_theory"] = abs(omega_theory)
+                row["omega_rel_err"] = (abs(om_fit.real - abs(omega_theory))
+                                        / abs(omega_theory))
+        else:
+            row["gamma_sim"] = gamma_energy
+        row["rel_err"] = (abs(row["gamma_sim"] - gamma_theory)
+                          / abs(gamma_theory))
         if sat_window is not None:
             st, sl = _findpeak(t, e, sat_window)
             row["saturation_time"] = st
             row["saturation_level"] = sl
-        return emit(row)
+        emit(row)
+        return t, e
 
     def _ts_disp(k):
         d = Dispersion([s for s in species_for_config(
@@ -203,10 +231,12 @@ def main() -> int:
     log(f"bump-on-tail theory: k = {k:.4f}, omega = {om:.6g}")
     window = (25.0, 70.0)
     sat_window = (70.0, t_end) if t_end > 150.0 else None
-    record("bump_on_tail_pre83", cfg, om.imag, window, sat_window=sat_window)
+    record("bump_on_tail_pre83", cfg, om.imag, window, sat_window=sat_window,
+           mode_window=window, omega_theory=om.real)
     if not (on_cpu or args.no_bf16):
         record("bump_on_tail_pre83_bf16", dataclasses.replace(
-            cfg, bf16_weights=True), om.imag, window, sat_window=sat_window)
+            cfg, bf16_weights=True), om.imag, window, sat_window=sat_window,
+            mode_window=window, omega_theory=om.real)
 
     # --- case 3: nonlinear two-stream (BASELINE.md config 3) --------------
     # gamma + saturation + delta-f mode-structure correlation in the late
@@ -220,7 +250,8 @@ def main() -> int:
     log(f"two-stream theory: omega = {om:.6g}")
     with tempfile.TemporaryDirectory() as tmp:
         record("two_stream_k0.2", cfg, om.imag, (15.0, 35.0),
-               sat_window=(30.0, 60.0), out_path=tmp)
+               sat_window=(30.0, 60.0), out_path=tmp,
+               mode_window=(15.0, 35.0))
         od = OutputData(tmp)
         sc = od.get_scalar_t()
         it = int(np.argmin(np.abs(sc[0] - 25.0)))
@@ -232,7 +263,69 @@ def main() -> int:
     if not (on_cpu or args.no_bf16):
         record("two_stream_k0.2_bf16", dataclasses.replace(
             cfg, bf16_weights=True), om.imag, (15.0, 35.0),
-            sat_window=(30.0, 60.0))
+            sat_window=(30.0, 60.0), mode_window=(15.0, 35.0))
+
+    # --- case 3b: FULL-F two-stream (deltaf=False) + energy conservation --
+    # The reference treats full-f as a first-class mode (input_ideltaf,
+    # src/pic1dp_input.F90:104-106; full-f deposition branch
+    # src/pic1dp_interaction.F90:57-70,142-148: deposit p, subtract the
+    # equilibrium charge).  Full-f sampling noise is f0/sqrt(N) (not
+    # delta f/sqrt(N)), so the mode starts on the marker-noise floor
+    # ~ rho0/sqrt(N_cell); the two-stream instability at gamma = 0.28
+    # grows through it in a few e-foldings — the fit window starts later
+    # than the delta-f case.  Energy conservation (kinetic total + field)
+    # closes the loop on the full-f diagnostic path: "total" kinetic energy
+    # comes from sum p v^2 (diagnostics.energies), field from the solved E.
+    n_ff = int(float(os.environ.get(
+        "PIC1DP_PHYSICS_N_FF", 300_000 if on_cpu else 2**24)))
+    n_ff = (n_ff + 2047) // 2048 * 2048
+    cfg_ff = dataclasses.replace(
+        two_stream(nparticle=n_ff, time_max=60.0, dtype=dtype,
+                   output_interval=0.5, verbosity=0), deltaf=False)
+    t, e, wall, (zre, zim) = _run_case(cfg_ff, want_modes=True)
+    ff_window = (18.0, 32.0)
+    om_ff = fit_mode_omega(t, zre[0], zim[0], window=ff_window)
+    emit({"case": "two_stream_k0.2_fullf",
+          "gamma_sim": om_ff.imag, "gamma_theory": om.imag,
+          "rel_err": abs(om_ff.imag - om.imag) / abs(om.imag),
+          "fit": f"fit_mode_omega window {ff_window}",
+          "deltaf": False, "dtype": dtype, "bf16_weights": False,
+          "backend": backend, "n_markers": n_ff, "wall_s": round(wall, 2)})
+    snaps_ke = _LAST_RUN["kinetic_total"]
+    e_tot = snaps_ke + e  # kinetic (all species) + field, per snapshot
+    drift = float(np.max(np.abs(e_tot - e_tot[0])) / abs(e_tot[0]))
+    emit({"case": "two_stream_fullf_energy_conservation",
+          "max_rel_drift": drift, "rel_err": drift,
+          "e_total_initial": float(e_tot[0]),
+          "field_energy_peak": float(np.max(e)),
+          "exchange_fraction": float(np.max(e) / abs(e_tot[0])),
+          "deltaf": False, "dtype": dtype, "bf16_weights": False,
+          "backend": backend, "n_markers": n_ff})
+
+    # --- case 3c: PHYSICAL marker loading (markers ~ f0, Maxwellian only,
+    # reference src/pic1dp_particle.F90:172-178) end-to-end: Landau damping
+    # with p = n0 lx / N constant weights
+    from pic1dp_tpu.config import MarkerLoading
+
+    n_ph = int(float(os.environ.get(
+        "PIC1DP_PHYSICS_N_PHYS", 102_400 if on_cpu else 2**23)))
+    n_ph = (n_ph + 2047) // 2048 * 2048
+    cfg_ph = landau_damping(nx=64, nparticle=n_ph, k=0.5, amp=1e-4,
+                            time_max=20.0, output_interval=0.1, dtype=dtype,
+                            verbosity=0, dt=0.025,
+                            marker=MarkerLoading.PHYSICAL)
+    om_l = Dispersion(species_for_config(cfg_ph), 0.5).solve_omega()
+    t, e, wall, (zre, zim) = _run_case(cfg_ph, want_modes=True)
+    ph_window = (5.0, 15.0) if on_cpu else (8.0, 18.0)
+    om_fit = fit_mode_omega(t, zre[0], zim[0], window=ph_window)
+    emit({"case": "landau_k0.5_physical_loading",
+          "gamma_sim": om_fit.imag, "gamma_theory": om_l.imag,
+          "rel_err": abs(om_fit.imag - om_l.imag) / abs(om_l.imag),
+          "omega_sim": om_fit.real, "omega_theory": abs(om_l.real),
+          "omega_rel_err": abs(om_fit.real - abs(om_l.real)) / abs(om_l.real),
+          "fit": f"fit_mode_omega window {ph_window}",
+          "marker": "physical", "dtype": dtype, "bf16_weights": False,
+          "backend": backend, "n_markers": n_ph, "wall_s": round(wall, 2)})
 
     # --- case 4: multi-mode production path (modes 1..4, k1 = 0.1) --------
     # Box sized so modes 1-3 are strongly unstable (gamma = 0.209 / 0.284 /

@@ -20,6 +20,7 @@ from __future__ import annotations
 import argparse
 import cmath
 import math
+import warnings
 from typing import Callable, Sequence
 
 import numpy as np
@@ -201,6 +202,8 @@ def fit_mode_omega(t, mode_re, mode_im, window=None):
         t, z = t[m], z[m]
     if len(z) < 4:
         raise ValueError("fit_mode_omega needs >= 4 samples in the window")
+    if not np.allclose(np.diff(t), t[1] - t[0], rtol=1e-6, atol=0.0):
+        raise ValueError("fit_mode_omega requires uniform sample times")
     dt_s = t[1] - t[0]
     # total-least-squares linear prediction: ordinary LS on z_{k+2} =
     # c1 z_{k+1} + c0 z_k is biased by noise in the REGRESSORS (errors in
@@ -208,8 +211,25 @@ def fit_mode_omega(t, mode_re, mode_im, window=None):
     # signal); the smallest singular vector of the Hankel matrix treats
     # all three columns symmetrically
     m3 = np.stack([z[2:], z[1:-1], z[:-2]], axis=1)
-    v = np.linalg.svd(m3)[2][-1].conj()
+    sv, vh = np.linalg.svd(m3)[1:]
+    v = vh[-1].conj()
+    if abs(v[0]) < 1e-12 * np.linalg.norm(v):
+        # leading prediction coefficient ~0: the signal has < 2 resolvable
+        # poles at lag 2 (degenerate quadratic) — refuse rather than divide
+        raise ValueError("fit_mode_omega: degenerate two-pole fit "
+                         "(leading linear-prediction coefficient ~ 0)")
+    if sv[-2] < 10.0 * sv[-1] or sv[-2] < 1e-12 * sv[0]:
+        # near-rank-1 Hankel (single-pole signal): the null space is
+        # 2-dimensional, the second root is arbitrary and would corrupt the
+        # conjugate-pair average — fall back to the dominant single pole
+        warnings.warn("fit_mode_omega: near-degenerate two-pole fit "
+                      f"(sigma2/sigma3 = {sv[-2] / sv[-1]:.2f} < 10); "
+                      "using the dominant root only", stacklevel=2)
+        a = np.linalg.lstsq(z[:-1, None], z[1:], rcond=None)[0][0]
+        return abs(np.angle(a)) / dt_s + 1j * (math.log(abs(a)) / dt_s)
     roots = np.roots(v / v[0])
+    if len(roots) != 2:
+        raise ValueError(f"fit_mode_omega: expected 2 roots, got {len(roots)}")
     mods = np.abs(roots)
     angs = np.angle(roots)
     mod_split = abs(float(np.log(mods[0]) - np.log(mods[1])))

@@ -328,26 +328,23 @@ def test_twolevel_stepper_matches_spectral():
                                    err_msg=field)
 
 
-def test_stream_v1_bitwise_matches_recompute():
+def test_stream_v1_bitwise_matches_recompute(monkeypatch):
     """stream_v1 (the round-3 default: substep 1 streams the midpoint
     velocities, substep 2 reads them instead of re-deriving) must be
     BITWISE identical to the recompute layout — the streamed value is the
     same expression over the same inputs with the same baked constants
     (ops/pallas_kernels.py make_substep_call docstring)."""
-    import os
-
     from pic1dp_tpu.config import DepositMethod
 
     cfg = bump_on_tail_default(nx=192, nparticle_max=4096, dtype="float32",
                                deposit_method=DepositMethod.PALLAS,
                                verbosity=0)
+    monkeypatch.setenv("PIC1DP_STREAM_V1", "1")
     st_v1 = Stepper(cfg)
     assert st_v1._stream_v1
-    os.environ["PIC1DP_STREAM_V1"] = "0"
-    try:
-        st_rc = Stepper(cfg)
-    finally:
-        del os.environ["PIC1DP_STREAM_V1"]
+    monkeypatch.setenv("PIC1DP_STREAM_V1", "0")
+    st_rc = Stepper(cfg)
+    monkeypatch.delenv("PIC1DP_STREAM_V1")
     assert not st_rc._stream_v1
     state = st_v1.initial_field(load_particles(cfg, jax.random.PRNGKey(19)))
     a, b = state, state

@@ -32,12 +32,16 @@ cross-lane reduction to (2, nmode) scalars happens once, outside).  Dead
 markers carry p = w = 0 (core/state.py invariant), so no live mask is
 streamed.
 
-Static configuration (lx, nx, modes, dt, equilibrium, per-species scalars) is
-baked into the kernel closure — one pallas_call per (species, substep), which
-keeps the physics functions in distributions.py shared verbatim with the XLA
-paths.
+Static configuration (lx, nx, modes, dt, equilibrium) is baked into the
+kernel closure — ONE pallas_call per substep covering every species: the
+sequential grid walks all species' blocks back to back and resolves the
+per-species physics constants by a scalar select on the block's species
+index (baked floats when uniform — always for nspecies == 1).  One call for
+the whole (ns, N) state matters: per-species calls made XLA materialize
+each species' input slice and re-concatenate the outputs, an extra
+read+write of the entire state per substep (~2x step time at ns=2).
 
-Particle blocks are (R, 128) tiles of the per-species (N/128, 128)-reshaped
+Particle blocks are (R, 128) tiles of the (ns*N/128, 128)-reshaped
 arrays; R is the largest divisor of N/128 up to `max_rows`.  With the
 in-place substep-2 aliasing, R=128 measures best on v5e (1.60-1.70 ms/step
 at 2^24 vs 1.80 at R=256, 2.3 at 512, 3.3 at 32 — smaller blocks overlap
@@ -62,18 +66,25 @@ from pic1dp_tpu.config import Config
 from pic1dp_tpu.ops.interp import wrap_x
 
 
-class _ScalarSpecies:
-    """SpeciesParams-compatible view with baked python-float fields, so the
-    shared physics functions (distributions.py) run unchanged in-kernel."""
+def _make_sel(sid, ns: int):
+    """Per-species constant selector for the species-fused kernel.
 
-    def __init__(self, cfg: Config, s: int):
-        sc = cfg.species[s]
-        self.charge = sc.charge
-        self.mass = sc.mass
-        self.temperature = sc.temperature
-        self.temperature2 = sc.temperature2
-        self.density = sc.density
-        self.v0 = sc.v0
+    `sid` is the block's species index (a traced scalar derived from
+    pl.program_id; None when ns == 1).  sel(vals) returns vals[sid]:
+    a plain python float whenever every species shares the value (always
+    true for ns == 1 — the expressions then compile bitwise-identically to
+    the old one-kernel-per-species layout), else a scalar select chain
+    (ns-1 scalar selects at trace level, negligible next to the particle
+    vector work)."""
+    def sel(vals):
+        vals = [float(v) for v in vals]
+        if all(v == vals[0] for v in vals):
+            return vals[0]
+        acc = vals[-1]
+        for s in range(ns - 2, -1, -1):
+            acc = jnp.where(sid == s, vals[s], acc)
+        return acc
+    return sel
 
 
 def _largest_divisor(n: int, limit: int, mult: int = 8) -> int:
@@ -100,46 +111,72 @@ def _fast_wrap(x, lx: float):
 _EXP_CLAMP = 60.0
 
 
-def _minus_dlnf0_dv_fast(eq, sp, v):
-    """distributions.minus_dlnf0_dv with static python-float species
-    parameters algebraically folded and the two-Gaussian equilibria rewritten
-    in single-exponential ratio form:
+def _minus_dlnf0_dv_fast(eq, cfg: Config, sel, v):
+    """distributions.minus_dlnf0_dv with species parameters algebraically
+    folded host-side and the two-Gaussian equilibria rewritten in
+    single-exponential ratio form:
 
         (a e^A + b e^B) / (e^A + e^B)  =  (a + b r) / (1 + r),  r = e^(B-A)
 
     — one transcendental per particle instead of two (transcendentals, not
     HBM, bound the fused kernel).  Mathematically identical to the shared
-    distributions.py forms; bitwise-equal for MAXWELLIAN and TWO_STREAM1."""
+    distributions.py forms; bitwise-equal for MAXWELLIAN and TWO_STREAM1.
+
+    Per-species parameters go through `sel` (_make_sel): python floats when
+    uniform across species (bitwise-identical compilation to baked
+    constants), scalar selects on the block's species index otherwise.
+    Degenerate bump-on-tail core fractions (density exactly 0 or 1) keep
+    their exact single-Maxwellian forms when EVERY species is degenerate
+    the same way; a mixed multi-species set instead clamps that species'
+    log_ratio to +-1e4, which the +-_EXP_CLAMP clip turns into
+    r = e^-+60 — a relative deviation < 1e-25, far below the 1e-12
+    equivalence pins."""
     from pic1dp_tpu.config import Equilibrium
 
-    vth2 = sp.temperature / sp.mass
-    inv_vth2 = 1.0 / vth2
+    sps = cfg.species
+    vth2 = [sp.temperature / sp.mass for sp in sps]
+    inv_vth2 = [1.0 / t for t in vth2]
     if eq == Equilibrium.MAXWELLIAN:
-        return (v - sp.v0) * inv_vth2
+        return (v - sel([sp.v0 for sp in sps])) * sel(inv_vth2)
     if eq == Equilibrium.TWO_STREAM1:
         return v - 2.0 / v
     if eq == Equilibrium.TWO_STREAM2:
         # r = em/ep = exp(((v+v0)^2 - (v-v0)^2)/(2 vth2)) = exp(2 v v0/vth2)
-        r = jnp.exp(jnp.clip(v * (2.0 * sp.v0 * inv_vth2),
-                             -_EXP_CLAMP, _EXP_CLAMP))
-        return ((v + sp.v0) + (v - sp.v0) * r) * inv_vth2 / (1.0 + r)
+        r = jnp.exp(jnp.clip(
+            v * sel([2.0 * sp.v0 * iv for sp, iv in zip(sps, inv_vth2)]),
+            -_EXP_CLAMP, _EXP_CLAMP))
+        v0 = sel([sp.v0 for sp in sps])
+        iv = sel(inv_vth2)
+        return ((v + v0) + (v - v0) * r) * iv / (1.0 + r)
     if eq == Equilibrium.BUMP_ON_TAIL:
-        vth2b = sp.temperature2 / sp.mass
-        inv_vth2b = 1.0 / vth2b
-        c_core = sp.density / math.sqrt(vth2)
-        c_beam = (1.0 - sp.density) / math.sqrt(vth2b)
-        # degenerate core fractions (density exactly 1 or 0) collapse to a
-        # single Maxwellian — the ratio form's log would domain-error
-        if c_beam <= 0.0:
-            return v * inv_vth2
-        if c_core <= 0.0:
-            return (v - sp.v0) * inv_vth2b
+        vth2b = [sp.temperature2 / sp.mass for sp in sps]
+        c_core = [sp.density / math.sqrt(t) for sp, t in zip(sps, vth2)]
+        c_beam = [(1.0 - sp.density) / math.sqrt(tb) if tb > 0.0 else 0.0
+                  for sp, tb in zip(sps, vth2b)]
+        if all(cb <= 0.0 for cb in c_beam):
+            return v * sel(inv_vth2)
+        if all(cc <= 0.0 for cc in c_core):
+            return (v - sel([sp.v0 for sp in sps])) * sel(
+                [1.0 / tb for tb in vth2b])
         # r = beam/core = (c_beam/c_core) exp(v^2/(2 vth2) - (v-v0)^2/(2 vth2b))
-        log_ratio = math.log(c_beam) - math.log(c_core)
-        arg = (v * v * (0.5 * inv_vth2)
-               - (v - sp.v0) ** 2 * (0.5 * inv_vth2b) + log_ratio)
+        # degenerate species in a mixed set: sanitize the dead component's
+        # width to the live one's (keeps arg finite at v = v0) and clamp
+        # log_ratio so the clip drives r to e^-+_EXP_CLAMP
+        safe_iv = [iv if cc > 0.0 else 1.0 / tb
+                   for iv, cc, tb in zip(inv_vth2, c_core, vth2b)]
+        safe_ivb = [1.0 / tb if cb > 0.0 else iv
+                    for iv, cb, tb in zip(safe_iv, c_beam, vth2b)]
+        log_ratio = [math.log(cb) - math.log(cc) if (cb > 0.0 and cc > 0.0)
+                     else (-1e4 if cb <= 0.0 else 1e4)
+                     for cb, cc in zip(c_beam, c_core)]
+        v0 = sel([sp.v0 for sp in sps])
+        iv = sel(safe_iv)
+        ivb = sel(safe_ivb)
+        arg = (v * v * sel([0.5 * x for x in safe_iv])
+               - (v - v0) ** 2 * sel([0.5 * x for x in safe_ivb])
+               + sel(log_ratio))
         r = jnp.exp(jnp.clip(arg, -_EXP_CLAMP, _EXP_CLAMP))
-        return (v * inv_vth2 + r * ((v - sp.v0) * inv_vth2b)) / (1.0 + r)
+        return (v * iv + r * ((v - v0) * ivb)) / (1.0 + r)
     raise ValueError(f"unknown equilibrium {eq}")
 
 
@@ -285,11 +322,22 @@ def _trig_block(x, lx, nx: int, modes, dtype):
     return w0, w1, out
 
 
-def make_substep_call(cfg: Config, s: int, substep: int, n: int, *,
+def make_substep_call(cfg: Config, substep: int, n: int, *,
                       max_rows: int = 128, interpret: bool = False,
                       axis_name: str | None = None, packed: bool = False,
                       stream_v1: bool = False):
-    """Build the fused substep kernel for species `s`.
+    """Build the fused substep kernel for ALL species in one pallas_call.
+
+    Particle arrays are the full (ns, n) state (n = per-species, per-shard
+    length); the kernel runs one sequential grid over every species' blocks
+    back to back — block b belongs to species b // (blocks per species),
+    and the per-species physics constants are scalar selects on that index
+    (plain baked floats when uniform, in particular whenever ns == 1, so
+    the single-species compilation is unchanged).  One call for the whole
+    state is load-bearing for multi-species perf: per-species calls forced
+    XLA to materialize each species' slice before the call and concatenate
+    the outputs after it — an extra read+write of the entire state per
+    substep that measured ~2x step time at ns=2 (docs/performance.md).
 
     substep 1:  fn(x0, v0, p, w0, mode_re0, mode_im0)
                   -> ([w1,] proj1)             projections of the dt/2 push
@@ -304,7 +352,7 @@ def make_substep_call(cfg: Config, s: int, substep: int, n: int, *,
     not cfg.linear (reference semantics: linear freezes v, full-f never
     updates w).  proj is the (2, nmode) raw mode projections of the species'
     charge-weighted deposit at the pushed positions (spectral.project_modes
-    semantics).  All particle arrays are (n,) flat for this species.
+    semantics), already summed over species.
 
     `packed=True` (bf16_weights fast path, delta-f f32 only): the p slot
     carries the packed p||w1 f32 stream (see pack_pw above) instead of
@@ -353,16 +401,22 @@ def make_substep_call(cfg: Config, s: int, substep: int, n: int, *,
         w1_sd = aux if "w1" in _names else dtype
     else:
         p_sd = w1_sd = aux
-    nrows = n // 128
+    ns = cfg.nspecies
+    nrows = n // 128           # rows per species
     rows = _largest_divisor(nrows, max_rows,
                             16 if (reduced and not packed) else 8)
-    nblocks = nrows // rows
+    nblocks = nrows // rows    # blocks per species: grid runs ns * nblocks
+    nrows_total = ns * nrows
     nmode = len(cfg.modes)
-    sp = _ScalarSpecies(cfg, s)
     vma = frozenset() if axis_name is None else frozenset({axis_name})
     dt_half = 0.5 * cfg.dt
-    q_over_m = sp.charge / sp.mass
-    deposit_scale = sp.charge  # val = charge * (w' | p)
+    # per-species physics constants (selected per block inside the kernel;
+    # plain floats whenever uniform across species)
+    charges = [sp.charge for sp in cfg.species]
+    # evaluation order matches the old per-species closure's
+    # `dt_eff * (charge / mass)` exactly (python-float bitwise identity)
+    dtqm_half_l = [dt_half * (sp.charge / sp.mass) for sp in cfg.species]
+    dtqm_full_l = [cfg.dt * (sp.charge / sp.mass) for sp in cfg.species]
     has_v = not cfg.linear     # v stream updated
     has_w = cfg.deltaf         # w stream updated
     if stream_v1 and not (has_v and has_w):
@@ -385,17 +439,19 @@ def make_substep_call(cfg: Config, s: int, substep: int, n: int, *,
             e = term if e is None else e + term
         return 2.0 * e, (w0h, w1h, trig)
 
-    def push(x0, v0, p, w0, v_at, w_at, e_p, dt_eff):
+    def push(sel, x0, v0, p, w0, v_at, w_at, e_p, dt_eff, dtqm):
         """Reference update ordering x, w, v from the step-start backups with
-        midpoint fields/velocities (src/pic1dp_interaction.F90:238-339)."""
+        midpoint fields/velocities (src/pic1dp_interaction.F90:238-339).
+        `dtqm` is the per-species dt_eff * q/m select (dtqm_half_l /
+        dtqm_full_l through `sel`)."""
         x_new = _fast_wrap(x0 + dt_eff * v_at, cfg.lx)
         if has_w:
             drive = (p * e_p) if cfg.linear else ((p - w_at) * e_p)
-            kern = _minus_dlnf0_dv_fast(cfg.equilibrium, sp, v_at)
-            w_new = w0 + (dt_eff * q_over_m) * drive * kern
+            kern = _minus_dlnf0_dv_fast(cfg.equilibrium, cfg, sel, v_at)
+            w_new = w0 + dtqm * drive * kern
         else:
             w_new = w0
-        v_new = v0 + (dt_eff * q_over_m) * e_p if has_v else v0
+        v_new = v0 + dtqm * e_p if has_v else v0
         return x_new, v_new, w_new
 
     def kernel(*refs):
@@ -405,6 +461,13 @@ def make_substep_call(cfg: Config, s: int, substep: int, n: int, *,
         w1_ref = rest[0] if (substep == 2 and has_w and not packed) else None
         v1_ref = rest[-n_scal - 1] if (substep == 2 and stream_v1) else None
         proj_ref = out_refs[-1]
+        # species of this block (sequential grid: species laid out back to
+        # back, nblocks blocks each); None -> every select is a baked float
+        sid = (pl.program_id(0) // nblocks) if ns > 1 else None
+        sel = _make_sel(sid, ns)
+        dtqm_h = sel(dtqm_half_l)
+        dtqm_f = sel(dtqm_full_l)
+        deposit_scale = sel(charges)  # val = charge * (w' | p)
 
         x0 = x_ref[:]
         v0 = v_ref[:]
@@ -418,7 +481,8 @@ def make_substep_call(cfg: Config, s: int, substep: int, n: int, *,
         if substep == 1:
             # half push from the step-start field
             e_p0, _ = gather_e(x0, scal[0], scal[1])
-            x_new, v_new, w_new = push(x0, v0, p, w0, v0, w0, e_p0, dt_half)
+            x_new, v_new, w_new = push(sel, x0, v0, p, w0, v0, w0, e_p0,
+                                       dt_half, dtqm_h)
             oi = 0
             if has_w:
                 # w1 is an intra-step stream (consumed only by substep 2's
@@ -444,7 +508,7 @@ def make_substep_call(cfg: Config, s: int, substep: int, n: int, *,
                 v1 = v1_ref[:]
             elif has_v:
                 e_p0, _ = gather_e(x0, scal[0], scal[1])
-                v1 = v0 + (dt_half * q_over_m) * e_p0
+                v1 = v0 + dtqm_h * e_p0
             else:
                 v1 = v0
             x1 = _fast_wrap(x0 + dt_half * v0, cfg.lx)
@@ -453,7 +517,8 @@ def make_substep_call(cfg: Config, s: int, substep: int, n: int, *,
             else:
                 w1 = w1_ref[:].astype(dtype) if has_w else w0
             e_p1, _ = gather_e(x1, scal[-2], scal[-1])
-            x_new, v_new, w_new = push(x0, v0, p, w0, v1, w1, e_p1, cfg.dt)
+            x_new, v_new, w_new = push(sel, x0, v0, p, w0, v1, w1, e_p1,
+                                       cfg.dt, dtqm_f)
             out_i = 0
             out_refs[out_i][:] = x_new
             out_i += 1
@@ -502,7 +567,7 @@ def make_substep_call(cfg: Config, s: int, substep: int, n: int, *,
         + ([w1_sd] if (substep == 2 and has_w and not packed) else []) \
         + ([dtype] if (substep == 2 and stream_v1) else [])
     grid_spec = pl.GridSpec(
-        grid=(nblocks,),
+        grid=(ns * nblocks,),
         in_specs=[pblock] * n_pin + [mblock] * n_scal,
         out_specs=tuple([pblock] * n_out
                         + [pl.BlockSpec((2 * nmode, 8, 128), lambda b: (0, 0, 0),
@@ -532,31 +597,35 @@ def make_substep_call(cfg: Config, s: int, substep: int, n: int, *,
         grid_spec=grid_spec,
         # under shard_map every output varies across the particle mesh axis
         # (the proj partials are psum'd by the caller)
-        out_shape=tuple([jax.ShapeDtypeStruct((nrows, 128), d, vma=vma)
+        out_shape=tuple([jax.ShapeDtypeStruct((nrows_total, 128), d, vma=vma)
                          for d in out_dtypes]
                         + [jax.ShapeDtypeStruct((2 * nmode, 8, 128), dtype,
                                                 vma=vma)]),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=n * (30 + 30 * nmode) * substep,
-            bytes_accessed=n * sum(d.itemsize
-                                   for d in in_dtypes + out_dtypes)
-            + n * dtype.itemsize,  # projection accumulator tile traffic
-            transcendentals=n * (2 * nmode + 1) * substep,
+            flops=ns * n * (30 + 30 * nmode) * substep,
+            bytes_accessed=ns * n * sum(d.itemsize
+                                        for d in in_dtypes + out_dtypes)
+            + ns * n * dtype.itemsize,  # projection accumulator tile traffic
+            transcendentals=ns * n * (2 * nmode + 1) * substep,
         ),
     )
 
     def fn(*arrays):
+        """arrays: the (ns, n) particle streams + flat mode scalars ->
+        (ns, n) outputs + the (2, nmode) projections summed over species."""
         particle, modes_flat = arrays[:n_pin], arrays[n_pin:]
         # coerce each stream to its declared dtype (no-op in production;
         # the PIC1DP_BF16_STREAMS bisection knob may widen p / w1)
         particle = [a.astype(d) for a, d in zip(particle, in_dtypes)]
-        blocked = [a.reshape(nrows, 128) for a in particle]
+        # (ns, n) -> (ns*nrows, 128) is a free bitcast (contiguous layout):
+        # no per-species slicing, so the whole-buffer i/o aliasing holds
+        blocked = [a.reshape(nrows_total, 128) for a in particle]
         scal = [m.reshape(1, nmode).astype(dtype) for m in modes_flat]
         *pouts, proj3 = call(*blocked, *scal)
         sums = jnp.sum(proj3, axis=(1, 2))          # (2*nmode,)
         proj = jnp.stack([sums[0::2], sums[1::2]])  # (2, nmode): cos; sin
-        return tuple(o.reshape(n) for o in pouts) + (proj,)
+        return tuple(o.reshape(ns, n) for o in pouts) + (proj,)
 
     return fn
 
@@ -589,11 +658,11 @@ class FusedStepper:
         self.stream_v1 = stream_v1 and self.has_v and self.has_w
         self._subs: dict = {}
 
-    def _sub(self, substep: int, s: int, n: int):
-        key = (substep, s, n)
+    def _sub(self, substep: int, n: int):
+        key = (substep, n)
         if key not in self._subs:
             self._subs[key] = make_substep_call(
-                self.cfg, s, substep, n, max_rows=self.max_rows,
+                self.cfg, substep, n, max_rows=self.max_rows,
                 interpret=self.interpret, axis_name=self.axis_name,
                 packed=self.packed, stream_v1=self.stream_v1)
         return self._subs[key]
@@ -604,14 +673,13 @@ class FusedStepper:
         is frozen; the refreshed packed p||w1 stream in packed mode), the
         streamed midpoint velocities (None unless stream_v1), and the raw
         midpoint-deposit projections summed over species."""
-        outs = self._run(1, (x, v, p, w), (mode_re, mode_im))
-        proj = sum(o[-1] for o in outs)
+        *pouts, proj = self._run(1, (x, v, p, w), (mode_re, mode_im))
         i = 0
         w1 = w
         if self.has_w:
-            w1 = jnp.stack([o[i] for o in outs])
+            w1 = pouts[i]
             i += 1
-        v1 = jnp.stack([o[i] for o in outs]) if self.stream_v1 else None
+        v1 = pouts[i] if self.stream_v1 else None
         return w1, v1, (proj[0], proj[1])
 
     def substep2(self, x, v, p, w, w1, mode_re0, mode_im0, mode_re1,
@@ -626,22 +694,20 @@ class FusedStepper:
         scal = ((mode_re0, mode_im0, mode_re1, mode_im1)
                 if self.has_v and not self.stream_v1
                 else (mode_re1, mode_im1))
-        outs = self._run(2, particle, scal)
-        proj = sum(o[-1] for o in outs)
-
-        def stack(idx):
-            return jnp.stack([o[idx] for o in outs])
-
+        *pouts, proj = self._run(2, particle, scal)
         i = 0
-        x_out = stack(i)
+        x_out = pouts[i]
         i += 1
-        v_out = stack(i) if self.has_v else v
+        v_out = pouts[i] if self.has_v else v
         i += 1 if self.has_v else 0
-        w_out = stack(i) if self.has_w else w
+        w_out = pouts[i] if self.has_w else w
         return x_out, v_out, w_out, (proj[0], proj[1])
 
     def _run(self, substep, particle_arrays, mode_scalars):
-        ns = self.cfg.nspecies
+        """ONE species-fused pallas_call on the full (ns, n) state — no
+        per-species slicing or output re-stacking (each forced XLA to
+        materialize a state-sized copy per substep; measured ~2x step time
+        at ns=2, docs/performance.md)."""
         n = particle_arrays[0].shape[-1]
         if self.axis_name is not None:
             # replicated mode scalars -> varying, so every kernel input
@@ -649,9 +715,5 @@ class FusedStepper:
             mode_scalars = tuple(
                 jax.lax.pcast(m, self.axis_name, to="varying")
                 for m in mode_scalars)
-        outs = []
-        for s in range(ns):
-            per_species = tuple(a[s] for a in particle_arrays)
-            fn = self._sub(substep, s, n)
-            outs.append(fn(*per_species, *mode_scalars))
-        return outs
+        fn = self._sub(substep, n)
+        return fn(*particle_arrays, *mode_scalars)

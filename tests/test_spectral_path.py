@@ -90,6 +90,27 @@ def _pallas_cases():
     yield "multimode", dataclasses.replace(
         lan, modes=(1, 2, 3), init_modes=(1, 2), init_amp_cos=(1e-5, 0.0),
         init_amp_sin=(1e-4, 5e-5))
+    # 2 species with DIFFERENT parameters: exercises the species-fused
+    # kernel's per-block constant selects (charge, mass, v0, temperature
+    # all distinct so no select degenerates to a baked float)
+    from pic1dp_tpu.config import Equilibrium, SpeciesConfig
+    yield "two_species_maxwellian", dataclasses.replace(
+        two_stream(nx=64, nparticle=4096, dtype="float64", verbosity=0),
+        equilibrium=Equilibrium.MAXWELLIAN,
+        species=(SpeciesConfig(charge=-1.0, mass=1.0, temperature=1.0,
+                               density=0.6, v0=2.5),
+                 SpeciesConfig(charge=-0.5, mass=2.0, temperature=0.5,
+                               density=0.4, v0=-3.0)))
+    # mixed bump-on-tail pair with one degenerate (beamless) species: the
+    # fused kernel must take the clamped-log_ratio branch for species 1
+    # while species 0 keeps the full two-Gaussian ratio form
+    yield "two_species_bump_mixed", dataclasses.replace(
+        bump_on_tail_default(nx=64, nparticle_max=4096, dtype="float64",
+                             verbosity=0),
+        species=(SpeciesConfig(charge=-1.0, mass=1.0, temperature=1.0,
+                               temperature2=0.25, density=0.9, v0=4.0),
+                 SpeciesConfig(charge=-1.0, mass=1.0, temperature=1.5,
+                               temperature2=0.25, density=1.0, v0=0.0)))
 
 
 @pytest.mark.parametrize("name,cfg", list(_pallas_cases()),

@@ -24,6 +24,7 @@ PIC1DP_BENCH_STEPS (10), PIC1DP_BENCH_CPU=1 to force the CPU platform.
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 import subprocess
@@ -72,13 +73,13 @@ def measure_baseline() -> float:
 
 def main() -> None:
     n = int(os.environ.get("PIC1DP_BENCH_N", 2**26))
-    # Round the capacity so the fused kernel can tile (128, 128) blocks:
-    # rows is the largest divisor of n/128 that is <= 128, so a capacity
-    # that is merely % 2048 can force tiny blocks (n=1e8 % 2048 -> rows=88,
-    # ~12% slower).  16384 = 128 rows x 128 lanes keeps rows at the v5e
-    # optimum; extra slots load as dead markers (p = w = 0) and cost only
-    # their stream bytes.
-    n = (n + 16383) // 16384 * 16384
+    # Round the capacity so the fused kernel can tile (256, 128) blocks:
+    # rows is the largest divisor of n/128 up to 256, so a capacity that is
+    # merely % 2048 can force tiny blocks (n=1e8 % 2048 -> rows=88, ~12%
+    # slower).  32768 = 256 rows x 128 lanes keeps rows at the v5e optimum
+    # (same-day 2^24/2^26 sweep, docs/performance.md round 4); extra slots
+    # load as dead markers (p = w = 0) and cost only their stream bytes.
+    n = (n + 32767) // 32768 * 32768
     nx = int(os.environ.get("PIC1DP_BENCH_NX", 1024))
     steps = int(os.environ.get("PIC1DP_BENCH_STEPS", 10))
 
@@ -140,42 +141,69 @@ def main() -> None:
     # can return before anything ran (see CLAUDE.md).
     import numpy as np
 
-    multi_a = stepper.make_multi_step(steps)
-    multi_b = stepper.make_multi_step(3 * steps)
-    t0 = time.perf_counter()
-    np.asarray(multi_a(state).electric)
-    log(f"first {steps}-step scan (compile+run): {time.perf_counter() - t0:.1f}s")
-    np.asarray(multi_b(state).electric)
-
-    # Robust per-side minima: latency noise over the tunnel is strictly
-    # additive, so min(t_b) - min(t_a) converges to the true slope, while
-    # the paired min_i(t_b_i - t_a_i) deflates whenever one t_a sample
-    # catches a tunnel hiccup (the glitchy pair wins the min).
-    tas, tbs = [], []
-    for _ in range(4):
+    def scan_rate(stepper, state, steps, n_markers, tag=""):
+        """Pushes/s by the two-point scan-slope method; returns
+        (rate, per-step seconds, state after one 3k-step scan)."""
+        multi_a = stepper.make_multi_step(steps)
+        multi_b = stepper.make_multi_step(3 * steps)
         t0 = time.perf_counter()
         np.asarray(multi_a(state).electric)
-        tas.append(time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        sb = multi_b(state)
-        np.asarray(sb.electric)
-        tbs.append(time.perf_counter() - t0)
-    # /(2*steps) per step x steps back = /2 total; clamp like the other
-    # slope helpers so one tunnel hiccup on the warm side cannot yield a
-    # negative/inf headline (ADVICE r3).
-    elapsed = (min(tbs) - min(tas)) / 2
-    if elapsed <= 0:
-        raise RuntimeError(
-            f"non-positive scan slope ({min(tbs):.3f}s vs {min(tas):.3f}s): "
-            "tunnel noise exceeded the 2k-step difference; re-run on an "
-            "idle tunnel or raise PIC1DP_BENCH_STEPS")
-    state = sb
+        log(f"first {steps}-step scan{tag} (compile+run): "
+            f"{time.perf_counter() - t0:.1f}s")
+        np.asarray(multi_b(state).electric)
 
-    # 2 RK substeps per step, each pushing every marker
-    pushes = 2.0 * n * steps
-    rate = pushes / elapsed
-    log(f"slope of {steps}- vs {3 * steps}-step scans -> {rate:.3e} pushes/s "
-        f"({elapsed / steps * 1e3:.2f} ms/step)")
+        # Robust per-side minima: latency noise over the tunnel is strictly
+        # additive, so min(t_b) - min(t_a) converges to the true slope,
+        # while the paired min_i(t_b_i - t_a_i) deflates whenever one t_a
+        # sample catches a tunnel hiccup (the glitchy pair wins the min).
+        tas, tbs = [], []
+        for _ in range(4):
+            t0 = time.perf_counter()
+            np.asarray(multi_a(state).electric)
+            tas.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            sb = multi_b(state)
+            np.asarray(sb.electric)
+            tbs.append(time.perf_counter() - t0)
+        # /(2*steps) per step x steps back = /2 total; clamp like the other
+        # slope helpers so one tunnel hiccup on the warm side cannot yield
+        # a negative/inf headline (ADVICE r3).
+        elapsed = (min(tbs) - min(tas)) / 2
+        if elapsed <= 0:
+            raise RuntimeError(
+                f"non-positive scan slope ({min(tbs):.3f}s vs "
+                f"{min(tas):.3f}s): tunnel noise exceeded the 2k-step "
+                "difference; re-run on an idle tunnel or raise "
+                "PIC1DP_BENCH_STEPS")
+        # 2 RK substeps per step, each pushing every marker
+        rate = 2.0 * n_markers * steps / elapsed
+        log(f"slope of {steps}- vs {3 * steps}-step scans{tag} -> "
+            f"{rate:.3e} pushes/s ({elapsed / steps * 1e3:.2f} ms/step)")
+        return rate, elapsed / steps, sb
+
+    rate, _, state = scan_rate(stepper, state, steps, n)
+
+    # The literal BASELINE.json config-4 size (1e8 markers, 1024 cells) as a
+    # first-class row: same config at n=1e8 (rounded up to the block tile),
+    # measured the same way.  PIC1DP_BENCH_1E8=0 skips it; it is skipped
+    # automatically when the headline n already is 1e8.
+    rate_1e8 = n_1e8 = None
+    if (int(os.environ.get("PIC1DP_BENCH_1E8", "1"))
+            and dev.platform != "cpu"):
+        n_1e8 = (100_000_000 + 32767) // 32768 * 32768
+        if n_1e8 != n:
+            cfg8 = dataclasses.replace(cfg, nparticle_max=n_1e8).validate()
+            stepper8 = Stepper(cfg8)
+            t0 = time.perf_counter()
+            state8 = load_particles(cfg8, jax.random.PRNGKey(12345))
+            state8 = stepper8.initial_field(state8)
+            jax.block_until_ready(state8.electric)
+            log(f"[1e8] load+initial solve: {time.perf_counter() - t0:.1f}s")
+            rate_1e8, _, _ = scan_rate(stepper8, state8, steps, n_1e8,
+                                       tag=" [1e8]")
+            del state8
+        else:
+            rate_1e8 = rate
 
     # secondary: deposition SpMV nnz/s MEASURED from the EXPLICIT-path pair
     # (S^T val segment-sum deposit and the two-level one-hot gather S E,
@@ -185,14 +213,19 @@ def main() -> None:
     # partial-DFT matmul pair (src/pic1dp_field.F90:218-257).  All timed by
     # the two-point scan-slope method so the remote-tunnel dispatch latency
     # (~30 ms/call) cancels.
+    payload = {
+        "metric": "particles_pushed_per_sec_per_chip",
+        "value": rate,
+        "unit": "pushes/s",
+        "vs_baseline": rate / PINNED_BASELINE,
+        "vs_baseline_live": rate / baseline,
+    }
+    if rate_1e8 is not None:
+        payload["value_1e8_markers"] = rate_1e8
+        payload["n_1e8_markers"] = n_1e8
+
     if not int(os.environ.get("PIC1DP_BENCH_SECONDARY", "1")):
-        print(json.dumps({
-            "metric": "particles_pushed_per_sec_per_chip",
-            "value": rate,
-            "unit": "pushes/s",
-            "vs_baseline": rate / PINNED_BASELINE,
-            "vs_baseline_live": rate / baseline,
-        }))
+        print(json.dumps(payload))
         return
 
     from pic1dp_tpu.ops.shape_matrix import ShapeMatrix
@@ -298,13 +331,7 @@ def main() -> None:
         f"{solve_us:.1f} us/solve")
     log(f"field energy sanity: {float(jnp.sum(state.electric**2)):.3e}")
 
-    print(json.dumps({
-        "metric": "particles_pushed_per_sec_per_chip",
-        "value": rate,
-        "unit": "pushes/s",
-        "vs_baseline": rate / PINNED_BASELINE,
-        "vs_baseline_live": rate / baseline,
-    }))
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

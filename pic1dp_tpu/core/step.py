@@ -300,11 +300,12 @@ class Stepper:
 
         if self._fused is None:
             # PIC1DP_PALLAS_ROWS: block-row sweep knob for on-chip tuning
-            # (default 128, the v5e optimum measured in docs/performance.md)
+            # (default 256, the v5e optimum: same-day sweep at 2^24 AND 2^26
+            # markers; 128 loses ~8% at 2^26 — docs/performance.md round 4)
             self._fused = FusedStepper(
                 self.cfg, axis_name=self.axis_name, packed=self._packed,
                 stream_v1=self._stream_v1,
-                max_rows=int(os.environ.get("PIC1DP_PALLAS_ROWS", "128")))
+                max_rows=int(os.environ.get("PIC1DP_PALLAS_ROWS", "256")))
         return self._fused
 
     def _step_spectral_pallas(self, state: SimState) -> SimState:

@@ -42,10 +42,11 @@ each species' input slice and re-concatenate the outputs, an extra
 read+write of the entire state per substep (~2x step time at ns=2).
 
 Particle blocks are (R, 128) tiles of the (ns*N/128, 128)-reshaped
-arrays; R is the largest divisor of N/128 up to `max_rows`.  With the
-in-place substep-2 aliasing, R=128 measures best on v5e (1.60-1.70 ms/step
-at 2^24 vs 1.80 at R=256, 2.3 at 512, 3.3 at 32 — smaller blocks overlap
-the in-place read/write DMA better, until grid overhead takes over).
+arrays; R is the largest divisor of N/128 up to `max_rows`.  R=256 is the
+v5e optimum at BOTH 2^24 and 2^26 markers (same-day sweep, docs/
+performance.md round 4: 1.67 ms/step at 2^24 and 6.99 ms at 2^26, vs
+1.72/7.59 at R=128 — R=128's loss grows with the grid count — and
+8.11 at R=512, 10.2 at R=64 at 2^26).
 Capacity N must be a multiple of 128 (pad nparticle_max; nparticle_init is
 unaffected).
 """

@@ -144,12 +144,18 @@ def main() -> int:
 
     def record(case, cfg, gamma_theory, window, peaks_only=False,
                sat_window=None, out_path=None, mode_window=None,
-               omega_theory=None):
+               omega_theory=None, mode_fit="omega"):
         """One growth-rate row.  With mode_window, gamma_sim comes from the
-        two-pole TLS fit of the kept-mode series (fit_mode_omega — the
-        accurate estimator, VERDICT r3 item 6a) and the energy fit is kept
-        as the runinfo.py-parity column; without it, gamma_sim IS the
-        energy fit (reference tools/runinfo.py:114-122 semantics)."""
+        kept-mode series — mode_fit="omega": the two-pole TLS fit
+        (fit_mode_omega), exact for PROPAGATING modes whose standing-wave
+        beat biases any log-slope; mode_fit="slope": the log|amp| LS slope,
+        the robust estimator for purely GROWING modes (omega_r = 0), whose
+        series carry non-pole components (ballistic residue, sampling
+        shadow) that break Prony-type fits (measured 6-100% errors) while
+        the slope over the exponential-dominant window matches theory to
+        <1%.  The energy fit is kept as the runinfo.py-parity column;
+        without mode_window, gamma_sim IS the energy fit (reference
+        tools/runinfo.py:114-122 semantics)."""
         t, e, wall, (zre, zim) = _run_case(cfg, out_path=out_path,
                                            want_modes=True)
         gamma_energy = _fit_gamma(t, e, window, peaks_only)
@@ -157,7 +163,14 @@ def main() -> int:
                "dtype": cfg.dtype, "bf16_weights": cfg.bf16_weights,
                "backend": backend, "n_markers": cfg.nparticle_max,
                "wall_s": round(wall, 2)}
-        if mode_window is not None:
+        if mode_window is not None and mode_fit == "slope":
+            sel = (t >= mode_window[0]) & (t <= mode_window[1])
+            amp = np.hypot(zre[0], zim[0])
+            row["gamma_sim"] = float(np.polyfit(t[sel],
+                                                np.log(amp[sel]), 1)[0])
+            row["gamma_energy_runinfo_parity"] = gamma_energy
+            row["fit"] = f"mode-amplitude log-slope, window {mode_window}"
+        elif mode_window is not None:
             om_fit = fit_mode_omega(t, zre[0], zim[0], window=mode_window)
             row["gamma_sim"] = om_fit.imag
             row["gamma_energy_runinfo_parity"] = gamma_energy
@@ -249,9 +262,12 @@ def main() -> int:
     om = disp.solve_omega()
     log(f"two-stream theory: omega = {om:.6g}")
     with tempfile.TemporaryDirectory() as tmp:
+        # energy-fit window (15, 35) = runinfo parity; the mode-slope fit
+        # stops at t = 28, before trapping saturation (~t = 30) bends the
+        # exponential (a saturated tail in the window measured 79% off)
         record("two_stream_k0.2", cfg, om.imag, (15.0, 35.0),
                sat_window=(30.0, 60.0), out_path=tmp,
-               mode_window=(15.0, 35.0))
+               mode_window=(15.0, 28.0), mode_fit="slope")
         od = OutputData(tmp)
         sc = od.get_scalar_t()
         it = int(np.argmin(np.abs(sc[0] - 25.0)))
@@ -263,7 +279,8 @@ def main() -> int:
     if not (on_cpu or args.no_bf16):
         record("two_stream_k0.2_bf16", dataclasses.replace(
             cfg, bf16_weights=True), om.imag, (15.0, 35.0),
-            sat_window=(30.0, 60.0), mode_window=(15.0, 35.0))
+            sat_window=(30.0, 60.0), mode_window=(15.0, 28.0),
+            mode_fit="slope")
 
     # --- case 3b: FULL-F two-stream (deltaf=False) + energy conservation --
     # The reference treats full-f as a first-class mode (input_ideltaf,
@@ -283,12 +300,21 @@ def main() -> int:
         two_stream(nparticle=n_ff, time_max=60.0, dtype=dtype,
                    output_interval=0.5, verbosity=0), deltaf=False)
     t, e, wall, (zre, zim) = _run_case(cfg_ff, want_modes=True)
-    ff_window = (18.0, 32.0)
-    om_ff = fit_mode_omega(t, zre[0], zim[0], window=ff_window)
+    # log|amp| slope, NOT the two-pole fit: the full-f mode series rides a
+    # random-walking marker-noise background (f0-level sampling, not a
+    # coherent second pole), which the two-pole model misassigns (measured
+    # 7% low); the slope over the exponential-dominant window is unbiased.
+    # Window: from noise-floor emergence (amp >= 3x the t<5 floor, t ~ 10)
+    # to trapping-saturation onset (amp <= 0.1x the saturation level,
+    # t ~ 25; saturation at t ~ 28).
+    ff_window = (10.0, 25.0)
+    sel = (t >= ff_window[0]) & (t <= ff_window[1])
+    amp_ff = np.hypot(zre[0], zim[0])
+    g_ff = float(np.polyfit(t[sel], np.log(amp_ff[sel]), 1)[0])
     emit({"case": "two_stream_k0.2_fullf",
-          "gamma_sim": om_ff.imag, "gamma_theory": om.imag,
-          "rel_err": abs(om_ff.imag - om.imag) / abs(om.imag),
-          "fit": f"fit_mode_omega window {ff_window}",
+          "gamma_sim": g_ff, "gamma_theory": om.imag,
+          "rel_err": abs(g_ff - om.imag) / abs(om.imag),
+          "fit": f"mode-amplitude log-slope, window {ff_window}",
           "deltaf": False, "dtype": dtype, "bf16_weights": False,
           "backend": backend, "n_markers": n_ff, "wall_s": round(wall, 2)})
     snaps_ke = _LAST_RUN["kinetic_total"]
@@ -338,7 +364,7 @@ def main() -> int:
     # sqrt(N)) reaches its amplitude.
     if not args.skip_multimode:
         n_mm = int(float(os.environ.get(
-            "PIC1DP_PHYSICS_N_MM", 524_288 if on_cpu else 2**23)))
+            "PIC1DP_PHYSICS_N_MM", 524_288 if on_cpu else 2**24)))
         n_mm = (n_mm + 2047) // 2048 * 2048
         mm_modes = (1, 2, 3, 4)
         k1 = 0.1
@@ -349,20 +375,28 @@ def main() -> int:
             f"m{m}: {roots[m].imag:.4f}" for m in mm_modes))
 
         def mode_gammas(tmp, windows):
-            # two-pole TLS fit per mode: these roots are purely growing
-            # (omega_r = 0), so the early signal is ~A cosh(gamma t) — a
-            # log|amp| slope UNDERSTATES gamma until the e^{-gamma t}
-            # partner dies (fatal for the slow m4); the two-pole model
-            # captures both branches exactly
+            # log|amp| slope per mode over a window where the mode's OWN
+            # exponential dominates.  The per-mode series here is NOT a
+            # two-pole signal: on top of the growing eigenmode it carries
+            # (a) the ballistic/plasma-oscillation residue of the density
+            # seed (omega ~ omega_pe, weakly damped — visible as an
+            # amplitude wobble) and (b) the faster modes' sampling shadow
+            # (~A_fast(t)/sqrt(N)).  A two-pole (or 4-pole) Prony fit
+            # misassigns those components and returned gammas up to 2x off
+            # while the LOCAL slope matched theory to <1% — the slope over
+            # a vetted window averages the wobble and is unbiased.  Window
+            # criteria (recorded per row): start after the seed transient
+            # has phase-mixed AND the mode is >= 10x its residue floor; end
+            # before the fastest mode's shadow exceeds ~2% of the mode
+            # (and, nonlinear, before saturation at t ~ 38).
             od = OutputData(tmp)
             mt = od.get_mode_t()
             tv = od.get_scalar_t()[0]
             out = {}
             for m, w in windows.items():
                 sel = (tv >= w[0]) & (tv <= w[1])
-                out[m] = fit_mode_omega(
-                    tv[sel], mt[m - 1][sel],
-                    mt[len(mm_modes) + m - 1][sel]).imag
+                amp = np.hypot(mt[m - 1][sel], mt[len(mm_modes) + m - 1][sel])
+                out[m] = float(np.polyfit(tv[sel], np.log(amp), 1)[0])
             return out, od, tv
 
         base = two_stream(nx=128, nparticle=n_mm, k=k1, v0=3.0,
@@ -371,23 +405,27 @@ def main() -> int:
         cfg_nl = dataclasses.replace(
             base, modes=mm_modes, init_modes=mm_modes,
             init_amp_cos=(0.0,) * 4, init_amp_sin=(1e-4, 1e-5, 1e-4, 3e-3))
+        nl_windows = {1: (20.0, 37.0), 2: (15.0, 35.0), 3: (17.0, 35.0),
+                      4: (30.0, 40.0)}
         with tempfile.TemporaryDirectory() as tmp:
             t, e, wall = _run_case(cfg_nl, out_path=tmp)
-            gam, od, tv = mode_gammas(
-                tmp, {1: (15.0, 35.0), 2: (15.0, 35.0), 3: (15.0, 35.0),
-                      4: (5.0, 20.0)})
+            gam, od, tv = mode_gammas(tmp, nl_windows)
             for m in (1, 2, 3):
                 emit({"case": f"multimode_nonlinear_m{m}_k{k1 * m:.1f}",
                       "gamma_sim": gam[m], "gamma_theory": roots[m].imag,
                       "rel_err": abs(gam[m] - roots[m].imag) / roots[m].imag,
+                      "fit": f"mode-amplitude log-slope, window "
+                             f"{nl_windows[m]}",
                       "dtype": dtype, "bf16_weights": False,
                       "backend": backend, "n_markers": n_mm,
                       "wall_s": round(wall, 2)})
-            # slaved mode: informational (expected ~gamma1+gamma3 once the
-            # beat drive overtakes its slow linear growth)
+            # slaved mode: informational — by t = 30 the m1+m3 / 2*m2 beat
+            # drive (~gamma1+gamma3) has overtaken m4's slow linear growth,
+            # so its late-window slope is compared against the beat rate
             emit({"case": "multimode_nonlinear_m4_slaved",
                   "gamma_sim": gam[4], "gamma_theory": roots[4].imag,
                   "gamma_beat_drive": roots[1].imag + roots[3].imag,
+                  "fit": f"mode-amplitude log-slope, window {nl_windows[4]}",
                   "informational": True, "dtype": dtype,
                   "bf16_weights": False, "backend": backend,
                   "n_markers": n_mm})
@@ -410,15 +448,17 @@ def main() -> int:
             base, linear=True, time_max=45.0, modes=mm_modes,
             init_modes=mm_modes, init_amp_cos=(0.0,) * 4,
             init_amp_sin=(1e-5, 1e-5, 1e-5, 1e-3))
+        li_windows = {1: (22.0, 45.0), 2: (15.0, 40.0), 3: (20.0, 45.0),
+                      4: (12.0, 36.0)}
         with tempfile.TemporaryDirectory() as tmp:
             t, e, wall = _run_case(cfg_li, out_path=tmp)
-            gam, od, tv = mode_gammas(
-                tmp, {1: (15.0, 40.0), 2: (15.0, 40.0), 3: (15.0, 40.0),
-                      4: (5.0, 28.0)})
+            gam, od, tv = mode_gammas(tmp, li_windows)
             for m in mm_modes:
                 emit({"case": f"multimode_linear_m{m}_k{k1 * m:.1f}",
                       "gamma_sim": gam[m], "gamma_theory": roots[m].imag,
                       "rel_err": abs(gam[m] - roots[m].imag) / roots[m].imag,
+                      "fit": f"mode-amplitude log-slope, window "
+                             f"{li_windows[m]}",
                       "dtype": dtype, "bf16_weights": False,
                       "backend": backend, "n_markers": n_mm,
                       "wall_s": round(wall, 2)})

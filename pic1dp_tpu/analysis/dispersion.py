@@ -209,21 +209,42 @@ def fit_mode_omega(t, mode_re, mode_im, window=None):
     # c1 z_{k+1} + c0 z_k is biased by noise in the REGRESSORS (errors in
     # variables; measured 15x worse gamma on a synthetic noisy two-pole
     # signal); the smallest singular vector of the Hankel matrix treats
-    # all three columns symmetrically
+    # all three columns symmetrically.
+    #
+    # The prediction coefficients are constrained REAL: every physical
+    # two-pole model here has them — the standing Landau pair
+    # {e^{(+-i omega + gamma) dt}} gives c1 = 2 cos(omega dt) e^{gamma dt},
+    # c0 = -e^{2 gamma dt}, and the non-propagating pair {e^{+-gamma dt}}
+    # gives real c too.  An unconstrained complex null vector is a strictly
+    # weaker model: for a purely growing mode the signal is nearly real and
+    # its small imaginary part is sampling noise, which the complex TLS
+    # "explains" with spurious complex roots (measured on the multimode
+    # two-stream series: gamma 0.498 vs theory 0.237 with a fake
+    # omega_r = 0.42; the real-constrained fit recovers the local slope).
+    # Stacking Re and Im rows imposes the constraint exactly.
     m3 = np.stack([z[2:], z[1:-1], z[:-2]], axis=1)
-    sv, vh = np.linalg.svd(m3)[1:]
-    v = vh[-1].conj()
+    m3r = np.concatenate([m3.real, m3.imag], axis=0)
+    sv, vh = np.linalg.svd(m3r)[1:]
+    v = vh[-1]
     if abs(v[0]) < 1e-12 * np.linalg.norm(v):
         # leading prediction coefficient ~0: the signal has < 2 resolvable
         # poles at lag 2 (degenerate quadratic) — refuse rather than divide
         raise ValueError("fit_mode_omega: degenerate two-pole fit "
                          "(leading linear-prediction coefficient ~ 0)")
-    if sv[-2] < 10.0 * sv[-1] or sv[-2] < 1e-12 * sv[0]:
-        # near-rank-1 Hankel (single-pole signal): the null space is
-        # 2-dimensional, the second root is arbitrary and would corrupt the
-        # conjugate-pair average — fall back to the dominant single pole
-        warnings.warn("fit_mode_omega: near-degenerate two-pole fit "
-                      f"(sigma2/sigma3 = {sv[-2] / sv[-1]:.2f} < 10); "
+    if sv[-2] < 1e-10 * sv[0]:
+        # NUMERICALLY rank-1 Hankel (an exactly single-pole signal, e.g. a
+        # noiseless synthetic exponential): the null space is 2-dimensional,
+        # the second root is arbitrary and would corrupt the conjugate-pair
+        # average — fall back to the dominant single pole.  The test is
+        # against sigma1 at machine precision, NOT against sigma3: on real
+        # data sigma3 is the noise floor and a genuine weak second branch
+        # (e.g. the decaying e^{-gamma t} partner of a marginally unstable
+        # mode) routinely sits below any sigma3-relative threshold — a
+        # sigma2 < 10*sigma3 trigger replaced good two-pole fits with a
+        # single-pole LS that is meaningless on two-branch signals
+        # (measured: multimode m4 gamma -0.015 vs theory +0.067).
+        warnings.warn("fit_mode_omega: numerically rank-1 signal "
+                      f"(sigma2/sigma1 = {sv[-2] / sv[0]:.2e}); "
                       "using the dominant root only", stacklevel=2)
         a = np.linalg.lstsq(z[:-1, None], z[1:], rcond=None)[0][0]
         return abs(np.angle(a)) / dt_s + 1j * (math.log(abs(a)) / dt_s)

@@ -613,20 +613,28 @@ def make_substep_call(cfg: Config, substep: int, n: int, *,
     )
 
     def fn(*arrays):
-        """arrays: the (ns, n) particle streams + flat mode scalars ->
-        (ns, n) outputs + the (2, nmode) projections summed over species."""
+        """arrays: the particle streams — (ns, n) or flat (ns*n,) — plus
+        flat mode scalars -> outputs in the INPUT shape + the (2, nmode)
+        projections summed over species.
+
+        Flat (ns*n,) is the fast multi-species carry: a logical (ns, n)
+        array on TPU is tiled over its last TWO dims, so ns = 2 pads the
+        sublane dim 2 -> 8 and every reshape to the kernel's
+        (nrows_total, 128) blocking is a physical relayout (~3x the step's
+        own stream time, measured in docs/performance.md round 4); from a
+        flat buffer the same reshape is layout-free.  make_multi_step
+        flattens the scan carry once per dispatch."""
         particle, modes_flat = arrays[:n_pin], arrays[n_pin:]
+        in_shape = particle[0].shape
         # coerce each stream to its declared dtype (no-op in production;
         # the PIC1DP_BF16_STREAMS bisection knob may widen p / w1)
         particle = [a.astype(d) for a, d in zip(particle, in_dtypes)]
-        # (ns, n) -> (ns*nrows, 128) is a free bitcast (contiguous layout):
-        # no per-species slicing, so the whole-buffer i/o aliasing holds
         blocked = [a.reshape(nrows_total, 128) for a in particle]
         scal = [m.reshape(1, nmode).astype(dtype) for m in modes_flat]
         *pouts, proj3 = call(*blocked, *scal)
         sums = jnp.sum(proj3, axis=(1, 2))          # (2*nmode,)
         proj = jnp.stack([sums[0::2], sums[1::2]])  # (2, nmode): cos; sin
-        return tuple(o.reshape(ns, n) for o in pouts) + (proj,)
+        return tuple(o.reshape(in_shape) for o in pouts) + (proj,)
 
     return fn
 
@@ -705,11 +713,14 @@ class FusedStepper:
         return x_out, v_out, w_out, (proj[0], proj[1])
 
     def _run(self, substep, particle_arrays, mode_scalars):
-        """ONE species-fused pallas_call on the full (ns, n) state — no
+        """ONE species-fused pallas_call on the full state — (ns, n)
+        stacked or flat (ns*n,), see make_substep_call's fn — no
         per-species slicing or output re-stacking (each forced XLA to
         materialize a state-sized copy per substep; measured ~2x step time
         at ns=2, docs/performance.md)."""
-        n = particle_arrays[0].shape[-1]
+        shape = particle_arrays[0].shape
+        n = (shape[-1] if len(shape) > 1
+             else shape[0] // self.cfg.nspecies)
         if self.axis_name is not None:
             # replicated mode scalars -> varying, so every kernel input
             # carries the same manual-axes set under shard_map

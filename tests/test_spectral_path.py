@@ -285,6 +285,38 @@ def test_packed_multi_step_matches_per_step():
             err_msg=field)
 
 
+def test_flat_carry_multi_step_matches_per_step_two_species():
+    """make_multi_step flattens the Pallas scan carry to (ns*N,) — a
+    (ns, N) array on TPU sublane-pads the species dim and pays a physical
+    relayout per kernel call (2.6x step time at ns = 2, docs/performance.md
+    round 4).  The flat scan must equal per-step (ns, N) stepping exactly,
+    including the multi-species packed stream."""
+    import dataclasses
+
+    from pic1dp_tpu.config import DepositMethod, Equilibrium, SpeciesConfig
+
+    sp = SpeciesConfig(charge=-1.0, mass=1.0, temperature=1.0, density=0.5,
+                       v0=2.0)
+    cfg = dataclasses.replace(
+        bump_on_tail_default(nx=64, nparticle_max=4096, dtype="float32",
+                             deposit_method=DepositMethod.PALLAS,
+                             bf16_weights=True, verbosity=0),
+        equilibrium=Equilibrium.MAXWELLIAN,
+        species=(sp, dataclasses.replace(sp, v0=-2.0))).validate()
+    st = Stepper(cfg)
+    state = st.initial_field(load_particles(cfg, jax.random.PRNGKey(23)))
+    assert state.x.shape == (2, 4096)
+    a = st.make_multi_step(3)(state)
+    b = state
+    for _ in range(3):
+        b = st.step(b)
+    for field in ("x", "v", "p", "w", "mode_re", "mode_im"):
+        va = np.asarray(getattr(a, field))
+        np.testing.assert_array_equal(va, np.asarray(getattr(b, field)),
+                                      err_msg=field)
+        assert va.shape == np.asarray(getattr(state, field)).shape
+
+
 def test_bf16_weights_xla_fallback_matches():
     """Capacities that miss the 2048 granularity fall back to the XLA
     spectral path, which reads the bf16 p through ordinary promotion — the

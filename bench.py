@@ -141,9 +141,12 @@ def main() -> None:
     # can return before anything ran (see CLAUDE.md).
     import numpy as np
 
-    def scan_rate(stepper, state, steps, n_markers, tag=""):
-        """Pushes/s by the two-point scan-slope method; returns
-        (rate, per-step seconds, state after one 3k-step scan)."""
+    def scan_rate(stepper, state, steps, n_markers, tag="", reps=3):
+        """Pushes/s by the two-point scan-slope method, repeated `reps`
+        times back to back (the same-session spread convention: the spread
+        across repetitions separates kernel regressions from tunnel
+        weather).  Returns (best rate, all rates, state after one 3k-step
+        scan)."""
         multi_a = stepper.make_multi_step(steps)
         multi_b = stepper.make_multi_step(3 * steps)
         t0 = time.perf_counter()
@@ -156,32 +159,57 @@ def main() -> None:
         # additive, so min(t_b) - min(t_a) converges to the true slope,
         # while the paired min_i(t_b_i - t_a_i) deflates whenever one t_a
         # sample catches a tunnel hiccup (the glitchy pair wins the min).
-        tas, tbs = [], []
-        for _ in range(4):
-            t0 = time.perf_counter()
-            np.asarray(multi_a(state).electric)
-            tas.append(time.perf_counter() - t0)
-            t0 = time.perf_counter()
-            sb = multi_b(state)
-            np.asarray(sb.electric)
-            tbs.append(time.perf_counter() - t0)
-        # /(2*steps) per step x steps back = /2 total; clamp like the other
-        # slope helpers so one tunnel hiccup on the warm side cannot yield
-        # a negative/inf headline (ADVICE r3).
-        elapsed = (min(tbs) - min(tas)) / 2
-        if elapsed <= 0:
-            raise RuntimeError(
-                f"non-positive scan slope ({min(tbs):.3f}s vs "
-                f"{min(tas):.3f}s): tunnel noise exceeded the 2k-step "
-                "difference; re-run on an idle tunnel or raise "
-                "PIC1DP_BENCH_STEPS")
-        # 2 RK substeps per step, each pushing every marker
-        rate = 2.0 * n_markers * steps / elapsed
+        rates = []
+        for _ in range(reps):
+            tas, tbs = [], []
+            for _ in range(4):
+                t0 = time.perf_counter()
+                np.asarray(multi_a(state).electric)
+                tas.append(time.perf_counter() - t0)
+                t0 = time.perf_counter()
+                sb = multi_b(state)
+                np.asarray(sb.electric)
+                tbs.append(time.perf_counter() - t0)
+            # /(2*steps) per step x steps back = /2 total; clamp like the
+            # other slope helpers so one tunnel hiccup on the warm side
+            # cannot yield a negative/inf headline (ADVICE r3).
+            elapsed = (min(tbs) - min(tas)) / 2
+            if elapsed <= 0:
+                raise RuntimeError(
+                    f"non-positive scan slope ({min(tbs):.3f}s vs "
+                    f"{min(tas):.3f}s): tunnel noise exceeded the 2k-step "
+                    "difference; re-run on an idle tunnel or raise "
+                    "PIC1DP_BENCH_STEPS")
+            # 2 RK substeps per step, each pushing every marker
+            rates.append(2.0 * n_markers * steps / elapsed)
+        # additive noise only deflates a repetition's rate -> best-of-reps
+        # is the minimal-noise estimate (consistent with the per-side-min
+        # slope); the full list is reported for the spread fields
+        rate = max(rates)
         log(f"slope of {steps}- vs {3 * steps}-step scans{tag} -> "
-            f"{rate:.3e} pushes/s ({elapsed / steps * 1e3:.2f} ms/step)")
-        return rate, elapsed / steps, sb
+            + " / ".join(f"{r:.3e}" for r in rates)
+            + f" pushes/s (best {2.0 * n_markers * steps / rate * 1e3:.2f}"
+            f" ms/step)")
+        return rate, rates, sb
 
-    rate, _, state = scan_rate(stepper, state, steps, n)
+    rate, rates, state = scan_rate(stepper, state, steps, n)
+
+    # Inputs for the secondary metrics, extracted NOW so the big headline
+    # SimState can be freed before the 1e8-marker row allocates its own
+    # (~14 N-float streams at n=1e8 on top of the headline state would
+    # roughly double peak HBM — ADVICE r4).
+    xs, vals = jnp.array(state.x[0]), jnp.array(state.w[0])
+    grid0 = jnp.asarray(state.electric)
+    rho0 = jnp.asarray(state.rho)
+    # wtimer-parity per-phase decomposition (reference
+    # src/pic1dp_output.F90:576-627), PIC1DP_BENCH_PHASES=1 (needs the
+    # headline state, so it runs before the 1e8 row frees it)
+    if int(os.environ.get("PIC1DP_BENCH_PHASES", "0")):
+        from pic1dp_tpu.utils.phase_split import (format_phase_table,
+                                                  measure_phase_split)
+
+        log(format_phase_table(measure_phase_split(stepper, state, steps)))
+    del state
 
     # The literal BASELINE.json config-4 size (1e8 markers, 1024 cells) as a
     # first-class row: same config at n=1e8 (rounded up to the block tile),
@@ -200,7 +228,7 @@ def main() -> None:
             jax.block_until_ready(state8.electric)
             log(f"[1e8] load+initial solve: {time.perf_counter() - t0:.1f}s")
             rate_1e8, _, _ = scan_rate(stepper8, state8, steps, n_1e8,
-                                       tag=" [1e8]")
+                                       tag=" [1e8]", reps=1)
             del state8
         else:
             rate_1e8 = rate
@@ -219,6 +247,10 @@ def main() -> None:
         "unit": "pushes/s",
         "vs_baseline": rate / PINNED_BASELINE,
         "vs_baseline_live": rate / baseline,
+        # same-session repetition spread (min(t_b)-min(t_a) slope per rep,
+        # value = best rep): tells kernel regressions from tunnel weather
+        "spread_rates": [round(r, -6) for r in sorted(rates)],
+        "spread_rel": (max(rates) - min(rates)) / max(rates),
     }
     if rate_1e8 is not None:
         payload["value_1e8_markers"] = rate_1e8
@@ -230,9 +262,7 @@ def main() -> None:
 
     from pic1dp_tpu.ops.shape_matrix import ShapeMatrix
 
-    xs, vals = state.x[0], state.w[0]
     sm0 = jax.jit(lambda x: ShapeMatrix.assemble(x, cfg.lx, cfg.nx))(xs)
-    grid0 = jnp.asarray(state.electric)
     gmethod = "twolevel" if dev.platform != "cpu" else "take"
 
     def spmv_slope(build, args, k):
@@ -285,18 +315,9 @@ def main() -> None:
         f"{nnz / dep_s:.3e} nnz/s ({dep_s * 1e3:.1f} ms), gather S E "
         f"({gmethod}) {nnz / gat_s:.3e} nnz/s ({gat_s * 1e3:.1f} ms)")
 
-    # wtimer-parity per-phase decomposition (reference
-    # src/pic1dp_output.F90:576-627), PIC1DP_BENCH_PHASES=1
-    if int(os.environ.get("PIC1DP_BENCH_PHASES", "0")):
-        from pic1dp_tpu.utils.phase_split import (format_phase_table,
-                                                  measure_phase_split)
-
-        log(format_phase_table(measure_phase_split(stepper, state, steps)))
-
     from pic1dp_tpu.ops.spectral import SpectralOperator
 
-    op = SpectralOperator.create(nx, cfg.modes, cfg.lx, state.x.dtype)
-    rho0 = jnp.asarray(state.rho)
+    op = SpectralOperator.create(nx, cfg.modes, cfg.lx, xs.dtype)
 
     def poisson_loop(iters):
         @jax.jit
@@ -329,7 +350,7 @@ def main() -> None:
     solve_us = max((min(tbs) - min(tas)) / 8192 * 1e6, 0.0)
     log(f"Poisson solve (rho->modes->E, nx={nx}, nmode={len(cfg.modes)}): "
         f"{solve_us:.1f} us/solve")
-    log(f"field energy sanity: {float(jnp.sum(state.electric**2)):.3e}")
+    log(f"field energy sanity: {float(jnp.sum(grid0**2)):.3e}")
 
     print(json.dumps(payload))
 

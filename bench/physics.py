@@ -60,6 +60,22 @@ def _fit_gamma(t, e, window, peaks_only=False):
     return float(np.polyfit(t[idx], np.log(e[idx]), 1)[0] / 2.0)
 
 
+def _log_slope(tv, amp):
+    """LS slope of ln(amp) over tv, guarded: a zero/denormal amplitude
+    sample would send np.log to -inf and silently poison np.polyfit into a
+    nan gamma row, and a window catching < 4 samples is a config error —
+    both fail loudly here instead."""
+    import numpy as np
+
+    tv, amp = np.asarray(tv), np.asarray(amp)
+    if tv.size < 4:
+        raise ValueError(f"log-slope window has only {tv.size} samples")
+    if not np.all(amp > 1e-300):
+        raise ValueError("log-slope window contains non-positive/denormal "
+                         f"amplitudes (min {amp.min():.3e})")
+    return float(np.polyfit(tv, np.log(amp), 1)[0])
+
+
 def _findpeak(t, e, window):
     """Saturation peak of int E^2 dx in [t1, t2] (reference
     tools/OutputData.py:172-180: the max and its time)."""
@@ -166,8 +182,7 @@ def main() -> int:
         if mode_window is not None and mode_fit == "slope":
             sel = (t >= mode_window[0]) & (t <= mode_window[1])
             amp = np.hypot(zre[0], zim[0])
-            row["gamma_sim"] = float(np.polyfit(t[sel],
-                                                np.log(amp[sel]), 1)[0])
+            row["gamma_sim"] = _log_slope(t[sel], amp[sel])
             row["gamma_energy_runinfo_parity"] = gamma_energy
             row["fit"] = f"mode-amplitude log-slope, window {mode_window}"
         elif mode_window is not None:
@@ -310,7 +325,7 @@ def main() -> int:
     ff_window = (10.0, 25.0)
     sel = (t >= ff_window[0]) & (t <= ff_window[1])
     amp_ff = np.hypot(zre[0], zim[0])
-    g_ff = float(np.polyfit(t[sel], np.log(amp_ff[sel]), 1)[0])
+    g_ff = _log_slope(t[sel], amp_ff[sel])
     emit({"case": "two_stream_k0.2_fullf",
           "gamma_sim": g_ff, "gamma_theory": om.imag,
           "rel_err": abs(g_ff - om.imag) / abs(om.imag),
@@ -396,7 +411,7 @@ def main() -> int:
             for m, w in windows.items():
                 sel = (tv >= w[0]) & (tv <= w[1])
                 amp = np.hypot(mt[m - 1][sel], mt[len(mm_modes) + m - 1][sel])
-                out[m] = float(np.polyfit(tv[sel], np.log(amp), 1)[0])
+                out[m] = _log_slope(tv[sel], amp)
             return out, od, tv
 
         base = two_stream(nx=128, nparticle=n_mm, k=k1, v0=3.0,

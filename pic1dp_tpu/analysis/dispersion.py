@@ -248,6 +248,18 @@ def fit_mode_omega(t, mode_re, mode_im, window=None):
                       "using the dominant root only", stacklevel=2)
         a = np.linalg.lstsq(z[:-1, None], z[1:], rcond=None)[0][0]
         return abs(np.angle(a)) / dt_s + 1j * (math.log(abs(a)) / dt_s)
+    if sv[-2] < 3.0 * sv[-1]:
+        # sigma2 barely above the noise floor sigma3: the second pole is
+        # noise-determined, not resolved — the two-pole fit still beats the
+        # single-pole LS on two-branch signals (see the rank-1 note above),
+        # but the caller should know the second root carries no information
+        # (a damped non-propagating signal can latch its "dominant root"
+        # onto a larger-modulus noise root).  Warn, don't fall back.
+        warnings.warn("fit_mode_omega: second pole is at the noise floor "
+                      f"(sigma2/sigma3 = {sv[-2] / sv[-1]:.2f} < 3); the "
+                      "secondary root is noise-determined — treat the "
+                      "returned omega as effectively single-pole",
+                      stacklevel=2)
     roots = np.roots(v / v[0])
     if len(roots) != 2:
         raise ValueError(f"fit_mode_omega: expected 2 roots, got {len(roots)}")

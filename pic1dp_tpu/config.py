@@ -221,6 +221,16 @@ class Config:
     # the per-device particle capacity % 2048 == 0 (else it falls back to
     # the XLA spectral path).
     bf16_weights: bool = False
+    # The fused Pallas step needs the per-trace (per-device) particle length
+    # 1024-aligned (2048 with bf16_weights); misaligned lengths fall back to
+    # the XLA spectral path.  For plain f32 the fallback is physics-
+    # equivalent and only warns, but with bf16_weights the fallback SKIPS
+    # the intra-step w1 quantization — same config, different rounding,
+    # depending on per-shard alignment.  That must never happen silently:
+    # a bf16_weights config whose shards miss the 2048 granularity RAISES
+    # unless this opt-in accepts the (unquantized-w1, no traffic saving)
+    # fallback explicitly.
+    allow_pallas_fallback: bool = False
 
     # optimization schedules
     optimization: OptimizationConfig = OptimizationConfig()

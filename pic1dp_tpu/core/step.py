@@ -273,19 +273,32 @@ class Stepper:
         return self._step_grid(state)
 
     def _warn_pallas_fallback(self, length: int) -> None:
-        """One-time trace-time notice: the Pallas path was requested (or
+        """Trace-time fallback gate: the Pallas path was requested (or
         AUTO-resolved) but this trace's per-device particle length misses the
-        capacity granularity, so the run silently takes the XLA spectral
-        path — in particular, bf16_weights' intra-step w1 quantization (and
-        its traffic saving) is inactive, and the same config can produce
-        slightly different physics depending on per-shard alignment."""
+        capacity granularity, so the run takes the XLA spectral path instead.
+        For plain-precision configs the fallback is physics-equivalent and
+        only warns once.  With bf16_weights the fallback SKIPS the intra-step
+        w1 quantization — the same config would produce different rounding
+        depending on per-shard alignment — so it RAISES unless
+        cfg.allow_pallas_fallback opts in explicitly."""
+        quantized = self.cfg.p_dtype != self.cfg.dtype
+        if quantized and not self.cfg.allow_pallas_fallback:
+            raise ValueError(
+                f"bf16_weights requested but the per-trace particle length "
+                f"{length} is not a multiple of {self._pallas_align}, so the "
+                f"fused Pallas kernels (which carry the w1-stream "
+                f"quantization) cannot run; the XLA fallback would silently "
+                f"change the physics rounding. Pad nparticle_max so every "
+                f"per-device shard is a multiple of {self._pallas_align}, or "
+                f"set allow_pallas_fallback=True to accept the unquantized "
+                f"fallback explicitly.")
         if getattr(self, "_pallas_fallback_warned", False):
             return
         self._pallas_fallback_warned = True
         import warnings
 
         extra = ("; bf16_weights' w1-stream quantization is inactive on "
-                 "this path" if self.cfg.p_dtype != self.cfg.dtype else "")
+                 "this path" if quantized else "")
         warnings.warn(
             f"Pallas step requested but the per-trace particle length "
             f"{length} is not a multiple of {self._pallas_align}; falling "
@@ -393,10 +406,12 @@ class Stepper:
                 and self.deposit_method == DepositMethod.PALLAS
                 and n_trace % self._pallas_align == 0)
 
-    def make_multi_step(self, k: int):
-        """Jitted k-step advance via lax.scan: one dispatch, one compiled
-        loop — amortizes host->device launch latency (the reference's analogue
-        is simply its Fortran time loop, src/pic1dp.F90:78-109).
+    def multi_step_body(self, state: SimState, k: int) -> SimState:
+        """k-step advance via lax.scan — the traced body shared by
+        make_multi_step (single device) and ShardedStepper.make_multi_step
+        (called inside shard_map, where `state` carries the per-device
+        shards, so the packed/flat eligibility checks below see the
+        per-device length — exactly what the kernels see).
 
         With packed bf16 weights the scan carries the packed p||w1 stream:
         packed once before the loop, p restored after — the per-step body
@@ -431,27 +446,29 @@ class Stepper:
                 p=state.p.reshape(like.p.shape),
                 w=state.w.reshape(like.w.shape))
 
-        @jax.jit
-        def multi(state):
-            # flat only when this trace's per-device length really takes
-            # the Pallas path (misaligned lengths fall back to the XLA
-            # spectral step, which needs the (ns, N) stacking)
-            flat = use_flat and state.x.shape[-1] % self._pallas_align == 0
-            if self._packed_scan_ok(state.x.shape[-1]):
-                from pic1dp_tpu.ops.pallas_kernels import pack_pw
+        # flat only when this trace's per-device length really takes
+        # the Pallas path (misaligned lengths fall back to the XLA
+        # spectral step, which needs the (ns, N) stacking)
+        flat = use_flat and state.x.shape[-1] % self._pallas_align == 0
+        if self._packed_scan_ok(state.x.shape[-1]):
+            from pic1dp_tpu.ops.pallas_kernels import pack_pw
 
-                carry = dataclasses.replace(state, p=pack_pw(state.p))
-                if flat:
-                    carry = flatten(carry)
-                out, _ = jax.lax.scan(body_packed, carry, None, length=k)
-                if flat:
-                    out = unflatten(out, state)
-                return dataclasses.replace(out, p=state.p)
-            carry = flatten(state) if flat else state
-            out, _ = jax.lax.scan(body, carry, None, length=k)
-            return unflatten(out, state) if flat else out
+            carry = dataclasses.replace(state, p=pack_pw(state.p))
+            if flat:
+                carry = flatten(carry)
+            out, _ = jax.lax.scan(body_packed, carry, None, length=k)
+            if flat:
+                out = unflatten(out, state)
+            return dataclasses.replace(out, p=state.p)
+        carry = flatten(state) if flat else state
+        out, _ = jax.lax.scan(body, carry, None, length=k)
+        return unflatten(out, state) if flat else out
 
-        return multi
+    def make_multi_step(self, k: int):
+        """Jitted k-step advance: one dispatch, one compiled loop —
+        amortizes host->device launch latency (the reference's analogue is
+        simply its Fortran time loop, src/pic1dp.F90:78-109)."""
+        return jax.jit(functools.partial(self.multi_step_body, k=k))
 
     def push_pair(self, state: SimState):
         """Both RK substeps' pushes WITHOUT the final deposit/solve; used by

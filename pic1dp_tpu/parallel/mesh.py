@@ -128,44 +128,19 @@ class ShardedStepper:
             _full_rho, mesh, in_specs=(specs,), out_specs=P()))
 
         self._opt_cache: dict = {}
-        self._step_inner = shard_map(
-            self.local._step, mesh, in_specs=(specs,), out_specs=specs)
 
     def make_multi_step(self, k: int):
-        """Jitted k-step lax.scan over the shard_mapped step (one dispatch
-        per output interval, same as Stepper.make_multi_step).  Packed bf16
-        weights carry the packed p||w1 stream across the whole scan (packed
-        once outside, per-device shards refreshed in place each step)."""
-        import dataclasses
-
-        local = self.local
-        if local._packed_scan_ok(self.cfg.nparticle_max // self.mesh.size):
-            from pic1dp_tpu.ops.pallas_kernels import pack_pw
-
-            specs = state_specs()
-            packed_inner = shard_map(local._step_packed_carry, self.mesh,
-                                     in_specs=(specs,), out_specs=specs)
-
-            def body_packed(state, _):
-                return packed_inner(state), None
-
-            @jax.jit
-            def multi_packed(state):
-                carry = dataclasses.replace(state, p=pack_pw(state.p))
-                out, _ = jax.lax.scan(body_packed, carry, None, length=k)
-                return dataclasses.replace(out, p=state.p)
-
-            return multi_packed
-
-        def body(state, _):
-            return self._step_inner(state), None
-
-        @jax.jit
-        def multi(state):
-            out, _ = jax.lax.scan(body, state, None, length=k)
-            return out
-
-        return multi
+        """Jitted k-step lax.scan, the WHOLE scan inside one shard_map (one
+        dispatch per output interval, same as Stepper.make_multi_step).
+        Reuses Stepper.multi_step_body, so the sharded path gets the same
+        packed-p||w1 carry and the flat (ns*N_local,) carry treatment (the
+        multi-species sublane-relayout fix) — inside shard_map the body sees
+        per-device shard lengths, which is what the eligibility checks and
+        the kernels want."""
+        specs = state_specs()
+        return jax.jit(shard_map(
+            functools.partial(self.local.multi_step_body, k=k),
+            self.mesh, in_specs=(specs,), out_specs=specs))
 
     def apply_optimizations(self, state: SimState, key, merge=None,
                             remove=None, split=None) -> SimState:

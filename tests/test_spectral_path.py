@@ -335,6 +335,35 @@ def test_bf16_weights_xla_fallback_matches():
                                np.asarray(a.w) / scale, rtol=0, atol=1e-2)
 
 
+def test_bf16_misaligned_pallas_raises_without_optin():
+    """A bf16_weights config whose per-trace particle length misses the 2048
+    granularity must FAIL loudly instead of silently taking the XLA fallback
+    (which skips the w1-stream quantization — same config, different physics
+    rounding per shard size).  allow_pallas_fallback=True opts into the
+    fallback explicitly, with the warning."""
+    import pytest
+
+    from pic1dp_tpu.config import DepositMethod
+
+    cfg = bump_on_tail_default(nx=64, nparticle_max=3072, dtype="float32",
+                               deposit_method=DepositMethod.PALLAS,
+                               bf16_weights=True, verbosity=0)
+    st = Stepper(cfg)
+    state = st.initial_field(load_particles(cfg, jax.random.PRNGKey(5)))
+    with pytest.raises(ValueError, match="allow_pallas_fallback"):
+        st.step(state)
+    # multi-step scan path hits the same gate
+    with pytest.raises(ValueError, match="allow_pallas_fallback"):
+        st.make_multi_step(2)(state)
+
+    cfg_ok = dataclasses.replace(cfg, allow_pallas_fallback=True)
+    st_ok = Stepper(cfg_ok)
+    state_ok = st_ok.initial_field(load_particles(cfg_ok, jax.random.PRNGKey(5)))
+    with pytest.warns(RuntimeWarning, match="falling back"):
+        out = st_ok.step(state_ok)
+    assert np.isfinite(np.asarray(out.w)).all()
+
+
 def test_f32_config_stays_f32_under_x64():
     """TPU-equivalence guarantee: with jax_enable_x64 on (the CPU test
     environment), a dtype=float32 config must produce float32 state through

@@ -279,13 +279,14 @@ def main() -> None:
             tbs.append(time.perf_counter() - t0)
         return max((min(tbs) - min(tas)) / (2 * k), 1e-30)
 
-    def deposit_loop(iters):
+    def deposit_loop(iters, method):
         @jax.jit
         def run(ix0, ix1, w0, w1, val):
             sm = ShapeMatrix(ix0, ix1, w0, w1, cfg.nx)
 
             def body(c, _):
-                g = sm.deposit(val + c)
+                g = sm.deposit(val + c, method=method,
+                               chunk=cfg.deposit_chunk)
                 return 1e-30 * jnp.sum(g), None
             out, _ = jax.lax.scan(body, jnp.zeros((), val.dtype), None,
                                   length=iters)
@@ -308,12 +309,25 @@ def main() -> None:
 
     k_spmv = int(os.environ.get("PIC1DP_BENCH_SPMV_ITERS", 2))
     coo = (sm0.ix0, sm0.ix1, sm0.w0, sm0.w1)
-    dep_s = spmv_slope(deposit_loop, coo + (vals,), k_spmv)
+    # time BOTH S^T methods and report the per-nx winner (the production
+    # EXPLICIT path selects the same way, core/step.py deposit_charge):
+    # flat one-hot wins at nx <= ~1024, XLA scatter at nx >= 2048
+    # (docs/performance.md SpMV table)
+    dep_by_method = {
+        m: spmv_slope(lambda it, m=m: deposit_loop(it, m), coo + (vals,),
+                      k_spmv)
+        for m in ("onehot", "segment")}
+    dmethod, dep_s = min(dep_by_method.items(), key=lambda kv: kv[1])
     gat_s = spmv_slope(gather_loop, coo + (grid0,), k_spmv)
     nnz = 2.0 * xs.size
     log(f"EXPLICIT-path SpMV (measured, nx={nx}): deposit S^T w "
-        f"{nnz / dep_s:.3e} nnz/s ({dep_s * 1e3:.1f} ms), gather S E "
-        f"({gmethod}) {nnz / gat_s:.3e} nnz/s ({gat_s * 1e3:.1f} ms)")
+        f"({dmethod}) {nnz / dep_s:.3e} nnz/s ({dep_s * 1e3:.1f} ms; "
+        + ", ".join(f"{m} {nnz / s:.2e}" for m, s in dep_by_method.items())
+        + f"), gather S E ({gmethod}) {nnz / gat_s:.3e} nnz/s "
+        f"({gat_s * 1e3:.1f} ms)")
+    payload["deposit_nnz_per_sec"] = nnz / dep_s
+    payload["deposit_method"] = dmethod
+    payload["gather_nnz_per_sec"] = nnz / gat_s
 
     from pic1dp_tpu.ops.spectral import SpectralOperator
 

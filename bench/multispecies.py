@@ -1,21 +1,30 @@
-"""Multi-species perf datapoint (VERDICT round-3 item 8).
+"""Multi-species perf record (VERDICT round-4 item 2).
 
-The fused Pallas path issues one pallas_call per (species, substep)
-(ops/pallas_kernels.py _run), so nspecies=2 doubles the call count at fixed
-total marker count.  This probe measures whether that per-call overhead is
-visible: it times the production multi-step scan for
+The fused Pallas path runs ONE pallas_call per substep covering every
+species: the sequential grid walks all species' blocks back to back and the
+per-species physics constants resolve by a scalar select on the block's
+species index (ops/pallas_kernels.py make_substep_call).  Two measured
+penalties motivated that design, and this probe records both on chip:
 
-  A. 1 species x N markers        (the bench.py shape), vs
-  B. 2 species x N/2 markers each (same total markers, same stream bytes,
-     double the pallas_call count)
+  A. 1 species x N markers          — the bench.py headline shape;
+  B. 2 species x N/2 markers each   — same total markers, same stream bytes,
+     through the production fused layout (one call/substep, flat (ns*N,)
+     scan carry).  B/A per-marker ratio ~1.0 = species fusion is free.
+  C. B with PIC1DP_FLAT_CARRY=0     — the stacked (ns, N) scan carry: on
+     TPU a (2, N) array sublane-pads the species dim 2 -> 8, so every
+     kernel call pays a physical relayout to the (rows, 128) blocking.
+     C/B step-time ratio is the relayout penalty the flat carry removes
+     (the "2.6x" cited in core/step.py multi_step_body).
 
-with B a physically meaningful case: the two-stream pair loaded as two
-separate Maxwellian species at v0 = +-3, density 0.5 each (the reference's
+B is a physically meaningful case: the two-stream pair loaded as two
+separate Maxwellian SPECIES at v0 = +-3, density 0.5 each (the reference's
 nspecies surface, src/pic1dp_input.F90:57-72; same equilibrium as the
-single-species two-stream2 composite).
+single-species two-stream2 composite, so bench/physics.py's two-species row
+can pin gamma against the same dispersion root).
 
-Prints per-config pushes/s by the two-point scan-slope method and the B/A
-per-marker ratio.  Usage: python bench/multispecies.py [n_log2_total=26]
+Prints one JSON line with per-config pushes/s (two-point scan-slope, robust
+per-side minima) and the ratios.  Usage:
+    python bench/multispecies.py [n_log2_total=26] [--out FILE]
 """
 
 from __future__ import annotations
@@ -33,7 +42,11 @@ def log(msg):
 
 
 def main():
-    nlog = int(sys.argv[1]) if len(sys.argv) > 1 else 26
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    nlog = int(args[0]) if args else 26
+    out_path = None
+    if "--out" in sys.argv:
+        out_path = sys.argv[sys.argv.index("--out") + 1]
     n_total = 2 ** nlog
     steps = int(os.environ.get("PIC1DP_BENCH_STEPS", 10))
 
@@ -90,14 +103,29 @@ def main():
         species=(sp, dataclasses.replace(sp, v0=-3.0)),
         lx=2.0 * np.pi / 0.2,
     ).validate()
-    rate_b = rate_for(cfg_b, "B: 2 species")
+    rate_b = rate_for(cfg_b, "B: 2 species, flat carry (production)")
 
-    print(json.dumps({
+    os.environ["PIC1DP_FLAT_CARRY"] = "0"
+    try:
+        rate_c = rate_for(cfg_b, "C: 2 species, stacked (ns, N) carry")
+    finally:
+        del os.environ["PIC1DP_FLAT_CARRY"]
+
+    payload = {
         "metric": "multispecies_pushes_per_sec",
-        "rate_1species": rate_a, "rate_2species_same_total": rate_b,
+        "rate_1species": rate_a,
+        "rate_2species_same_total": rate_b,
+        "rate_2species_stacked_carry": rate_c,
         "per_marker_ratio_2sp_over_1sp": rate_b / rate_a,
+        "stacked_carry_step_time_ratio": rate_b / rate_c,
         "n_total": n_total, "steps": steps,
-    }))
+        "device": f"{dev.platform}:{dev.device_kind}",
+    }
+    if out_path:
+        with open(out_path, "w") as fh:
+            json.dump(payload, fh, indent=1)
+        log(f"wrote {out_path}")
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

@@ -159,6 +159,14 @@ def main() -> int:
         "gamma_theory_nsigma_from_mean": nsigma,
         "gamma_theory_within_2std": within,
         "gamma_theory_within_seed_range": in_range,
+        "saturation_anchor": (
+            "spread-anchored only: gamma/omega are compared against kinetic-"
+            "dispersion theory above, but the saturation level/time have NO "
+            "external anchor — the PRE 83, 056402 sec V.A.2 published "
+            "saturation figure is not in the retrieved material and this "
+            "environment cannot fetch it, so the mean/std here establish "
+            "seed-to-seed reproducibility, not agreement with the published "
+            "value (see BASELINE.md)"),
         "runinfo_stdout_tail": runinfo_stdout.splitlines()[-12:],
     }
     if args.out:

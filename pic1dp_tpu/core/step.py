@@ -149,7 +149,14 @@ class Stepper:
         val = w if cfg.deltaf else p
         val = jnp.where(live, val, 0.0) * self.sp.charge
         if cfg.shape == ParticleShape.EXPLICIT:
-            grid = shape_ops.ShapeMatrix.assemble(x, cfg.lx, cfg.nx).deposit(val)
+            # per-nx winner, same crossover as the position-path AUTO
+            # resolution: flat one-hot below nx=2048, XLA scatter above
+            # (docs/performance.md SpMV table)
+            coo_method = ("segment"
+                          if self.deposit_method == DepositMethod.SEGMENT
+                          else "onehot")
+            grid = shape_ops.ShapeMatrix.assemble(x, cfg.lx, cfg.nx).deposit(
+                val, method=coo_method, chunk=cfg.deposit_chunk)
         else:
             grid = deposit_ops.deposit(
                 x.reshape(-1), val.reshape(-1), cfg.lx, cfg.nx,
@@ -425,14 +432,20 @@ class Stepper:
         flatten/unflatten happens once per dispatch, not per step."""
         import dataclasses
 
+        import os
+
         def body(state, _):
             return self._step(state), None
 
         def body_packed(state, _):
             return self._step_packed_carry(state), None
 
+        # PIC1DP_FLAT_CARRY=0: A/B knob that keeps the stacked (ns, N)
+        # carry, reproducing the sublane-relayout penalty the flat layout
+        # removes (bench/multispecies.py measures both)
         use_flat = (self.deposit_method == DepositMethod.PALLAS
-                    and self.cfg.shape == ParticleShape.MATRIX_FREE)
+                    and self.cfg.shape == ParticleShape.MATRIX_FREE
+                    and bool(int(os.environ.get("PIC1DP_FLAT_CARRY", "1"))))
 
         def flatten(state):
             return dataclasses.replace(

@@ -276,6 +276,45 @@ def _sincos_turns(t):
     return (sign_c * base_c).astype(t.dtype), (sign_s * base_s).astype(t.dtype)
 
 
+def _sincos_turns_raw(tm):
+    """(cos, sin) of 2*pi*tm for ANY tm >= 0 — fused range reduction +
+    quadrant evaluation, ~25% fewer VPU ops than the mod-then-_sincos_turns
+    chain (the production kernels are VPU-bound on exactly these chains,
+    bench/probe_compute.py):
+
+        r = tm - floor(tm + 1/2)   in [-1/2, 1/2)   (one floor does the mod
+                                                     AND centers the range)
+        v = |r|; reflect v > 1/4 to w = 1/2 - v      (cos odd-symmetry about
+                                                      the quarter turn)
+        cos = +-Pc((4w)^2), sin = sign(r) * Ps-form  (same quadrant
+                                                      polynomials, no
+                                                      base-swap selects)
+
+    The reduction is exact arithmetic for the hot-loop angles (tm = m*ix0/nx
+    with integer ix0, product below 2^24) — same guarantee as the original
+    chain.  Quadrants 1/2 evaluate the reflected-argument polynomial of the
+    SAME function instead of the co-function swap, so individual values may
+    differ from _sincos_turns by ~1 ulp; the max absolute error bound
+    (<1 f32 ulp vs exact) is unchanged — pinned by
+    tests/test_spectral_path.py::test_sincos_turns_raw_accuracy."""
+    r = tm - jnp.floor(tm + 0.5)
+    v = jnp.abs(r)
+    hi = v > 0.25
+    w = jnp.where(hi, 0.5 - v, v)
+    f = 4.0 * w
+    y = f * f
+    c = _COS_COEF[5]
+    for k in (4, 3, 2, 1, 0):
+        c = c * y + _COS_COEF[k]
+    s = _SIN_COEF[5]
+    for k in (4, 3, 2, 1, 0):
+        s = s * y + _SIN_COEF[k]
+    s = s * f
+    cos = jnp.where(hi, -c, c)
+    sin = jnp.where(r < 0.0, -s, s)
+    return cos.astype(tm.dtype), sin.astype(tm.dtype)
+
+
 def _trig_block(x, lx, nx: int, modes, dtype):
     """mode_trig specialized for in-kernel blocks (same math as
     ops/spectral.mode_trig).  f32 uses the quadrant polynomials above — one
@@ -285,16 +324,25 @@ def _trig_block(x, lx, nx: int, modes, dtype):
     8 fall back to a direct evaluation).  f64 (CPU interpret mode,
     equivalence tests) keeps exact jnp.cos/sin so the 1e-12 pins against the
     XLA spectral path hold bitwise-tight."""
+    import os
+
     s = x * (nx / lx)
     ix0 = jnp.floor(s)
     frac = s - ix0
-    ix0 = jnp.clip(ix0, 0.0, float(nx - 1))
+    # upper guard only: in-kernel x is always wrapped into [0, lx) (loader +
+    # _fast_wrap), so s >= 0; the guard catches the half-ulp case where
+    # x just below lx rounds s up to exactly nx
+    ix0 = jnp.minimum(ix0, float(nx - 1))
     w0, w1 = 1.0 - frac, frac
     fast = dtype == jnp.float32
+    # PIC1DP_TRIG=1 reverts to the two-floor mod+quadrant chain for A/B runs
+    raw = os.environ.get("PIC1DP_TRIG", "2") == "2"
 
     def direct(m):
         if fast:
             tm = ix0 * np.float32(m / nx)     # m*ix0 exact below 2^24
+            if raw:
+                return _sincos_turns_raw(tm)  # fused mod+quadrant, ~25% off
             t = tm - jnp.floor(tm)            # mod 1: exact
             return _sincos_turns(t)
         theta0 = ix0 * jnp.asarray(2.0 * np.pi * m / nx, dtype)

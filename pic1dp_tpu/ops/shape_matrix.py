@@ -43,12 +43,53 @@ class ShapeMatrix(NamedTuple):
         ix0, ix1, w0, w1 = hat_x(x, lx, nx)
         return cls(ix0=ix0, ix1=ix1, w0=w0, w1=w1, nx=nx)
 
-    def deposit(self, val: jnp.ndarray) -> jnp.ndarray:
-        """S^T val -> (nx,) grid (the SpMV-transpose deposition)."""
+    def deposit(self, val: jnp.ndarray, method: str = "segment",
+                chunk: int = 16384) -> jnp.ndarray:
+        """S^T val -> (nx,) grid (the SpMV-transpose deposition).
+
+        method "segment" lowers to XLA's scatter (wins at large nx: measured
+        3x over the flat one-hot at nx=4096); "onehot" is the chunked
+        compare-select-reduce on the stored COO (the measured winner at
+        nx <= ~1024, where XLA fuses the (chunk, nx) one-hot into the reduce
+        end-to-end — the same per-nx crossover as the position-path
+        deposit_ops table in docs/performance.md, now selectable on the
+        stored-S path too so the EXPLICIT pair no longer pays a ~4x
+        off-winner penalty at small nx)."""
+        if method == "onehot":
+            return self._deposit_onehot(val, chunk)
         idx = jnp.concatenate([self.ix0.reshape(-1), self.ix1.reshape(-1)])
         w = jnp.concatenate([(self.w0 * val).reshape(-1),
                              (self.w1 * val).reshape(-1)])
         return jax.ops.segment_sum(w, idx, num_segments=self.nx)
+
+    def _deposit_onehot(self, val: jnp.ndarray, chunk: int) -> jnp.ndarray:
+        """Chunked flat one-hot S^T val from the stored COO entries (same
+        contraction as ops/deposit.deposit_onehot, minus the hat_x
+        recompute)."""
+        ix0, ix1 = self.ix0.reshape(-1), self.ix1.reshape(-1)
+        wv0 = (self.w0 * val).reshape(-1)
+        wv1 = (self.w1 * val).reshape(-1)
+        n = ix0.shape[0]
+        chunk = min(chunk, n) or 1
+        rem = (-n) % chunk
+        if rem:
+            ix0 = jnp.pad(ix0, (0, rem))
+            ix1 = jnp.pad(ix1, (0, rem))
+            wv0 = jnp.pad(wv0, (0, rem))
+            wv1 = jnp.pad(wv1, (0, rem))
+        nchunk = ix0.shape[0] // chunk
+        args = tuple(a.reshape(nchunk, chunk) for a in (ix0, ix1, wv0, wv1))
+        iota = jnp.arange(self.nx, dtype=jnp.int32)
+
+        def body(acc, a):
+            i0, i1, v0, v1 = a
+            contrib = jnp.where(i0[:, None] == iota, v0[:, None], 0.0) + \
+                      jnp.where(i1[:, None] == iota, v1[:, None], 0.0)
+            return acc + jnp.sum(contrib, axis=0), None
+
+        grid0 = jnp.zeros((self.nx,), wv0.dtype) + 0.0 * wv0[0]
+        grid, _ = jax.lax.scan(body, grid0, args)
+        return grid
 
     def gather(self, grid: jnp.ndarray, method: str = "take",
                chunk: int = 16384) -> jnp.ndarray:

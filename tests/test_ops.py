@@ -229,6 +229,26 @@ class TestShapeMatrix:
         rhs = float(np.dot(np.asarray(s.deposit(jnp.asarray(v))), g))
         assert lhs == pytest.approx(rhs, rel=1e-12)
 
+    def test_deposit_onehot_matches_segment(self):
+        """The stored-COO flat one-hot deposit (the nx<=1024 perf winner on
+        TPU, bench headline path) must equal the segment_sum deposit to
+        summation-order tolerance, including the chunk-padding tail."""
+        _, s = self._mat(n=500)  # 500 % chunk != 0 -> exercises padding
+        val = jax.random.normal(jax.random.PRNGKey(5), (500,), jnp.float64)
+        a = np.asarray(s.deposit(val, method="segment"))
+        b = np.asarray(s.deposit(val, method="onehot", chunk=128))
+        np.testing.assert_allclose(b, a, atol=1e-12)
+        # stacked (ns, n) input shape, as deposit_charge passes it
+        val2 = val.reshape(2, 250)
+        from pic1dp_tpu.ops.shape_matrix import ShapeMatrix
+
+        x2 = jax.random.uniform(jax.random.PRNGKey(6), (2, 250),
+                                jnp.float64) * 7.3
+        s2 = ShapeMatrix.assemble(x2, 7.3, 32)
+        np.testing.assert_allclose(
+            np.asarray(s2.deposit(val2, method="onehot", chunk=64)),
+            np.asarray(s2.deposit(val2, method="segment")), atol=1e-12)
+
     def test_matches_matrix_free_ops(self):
         from pic1dp_tpu.ops import deposit as deposit_ops
         from pic1dp_tpu.ops import gather as gather_ops

@@ -335,6 +335,38 @@ def test_bf16_weights_xla_fallback_matches():
                                np.asarray(a.w) / scale, rtol=0, atol=1e-2)
 
 
+def test_sincos_turns_raw_accuracy():
+    """_sincos_turns_raw (fused range-reduction quadrant trig, the VPU-bound
+    hot-loop chain) must match exact cos/sin(2*pi*t) to the same <~1 f32 ulp
+    bound as the original _sincos_turns for every realizable hot-loop angle
+    tm = m*ix0/nx (integer ix0), plus a dense irrational-t sweep."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pic1dp_tpu.ops.pallas_kernels import _sincos_turns, _sincos_turns_raw
+
+    cases = []
+    for nx in (64, 192, 1024):
+        for m in (1, 2, 3, 4, 7, 8):
+            ix0 = np.arange(nx, dtype=np.float32)
+            cases.append(ix0 * np.float32(m / nx))
+    cases.append(np.linspace(0.0, 7.999, 40001).astype(np.float32))
+    tm = np.concatenate(cases)
+    c_raw, s_raw = (np.asarray(v) for v in _sincos_turns_raw(jnp.asarray(tm)))
+    # f64 reference at the EXACT f32 argument
+    ref_c = np.cos(2.0 * np.pi * tm.astype(np.float64))
+    ref_s = np.sin(2.0 * np.pi * tm.astype(np.float64))
+    ulp = 1.2e-7
+    assert np.max(np.abs(c_raw - ref_c)) < 2 * ulp
+    assert np.max(np.abs(s_raw - ref_s)) < 2 * ulp
+    # no worse than the original two-floor chain on its own domain
+    t_in = tm - np.floor(tm)
+    c_old, s_old = (np.asarray(v)
+                    for v in _sincos_turns(jnp.asarray(t_in.astype(np.float32))))
+    assert np.max(np.abs(c_raw - ref_c)) <= np.max(np.abs(c_old - ref_c)) + ulp
+    assert np.max(np.abs(s_raw - ref_s)) <= np.max(np.abs(s_old - ref_s)) + ulp
+
+
 def test_bf16_misaligned_pallas_raises_without_optin():
     """A bf16_weights config whose per-trace particle length misses the 2048
     granularity must FAIL loudly instead of silently taking the XLA fallback

@@ -428,7 +428,8 @@ class Stepper:
         (ns*N,) for the scan: a (ns, N) array on TPU is tiled over its last
         two dims, so ns > 1 sublane-pads the species dim and every kernel
         call pays a physical relayout to the (rows, 128) blocking (measured
-        2.6x step time at ns = 2); flat buffers reshape layout-free.  The
+        2.71x step time at ns = 2 on chip, MULTISPECIES_r05.json); flat
+        buffers reshape layout-free.  The
         flatten/unflatten happens once per dispatch, not per step."""
         import dataclasses
 

@@ -39,7 +39,10 @@ per-species physics constants by a scalar select on the block's species
 index (baked floats when uniform — always for nspecies == 1).  One call for
 the whole (ns, N) state matters: per-species calls made XLA materialize
 each species' input slice and re-concatenate the outputs, an extra
-read+write of the entire state per substep (~2x step time at ns=2).
+read+write of the entire state per substep (the fused layout measures
+ns=2 per-marker throughput at 1.03x of single-species — free — vs the
+2.7x stacked-carry penalty; docs/performance.md multi-species section,
+MULTISPECIES_r05.json).
 
 Particle blocks are (R, 128) tiles of the (ns*N/128, 128)-reshaped
 arrays; R is the largest divisor of N/128 up to `max_rows`.  R=256 is the
@@ -386,7 +389,9 @@ def make_substep_call(cfg: Config, substep: int, n: int, *,
     state is load-bearing for multi-species perf: per-species calls forced
     XLA to materialize each species' slice before the call and concatenate
     the outputs after it — an extra read+write of the entire state per
-    substep that measured ~2x step time at ns=2 (docs/performance.md).
+    substep; the fused layout measures ns=2 at 1.03x single-species
+    per-marker throughput (docs/performance.md multi-species section,
+    MULTISPECIES_r05.json).
 
     substep 1:  fn(x0, v0, p, w0, mode_re0, mode_im0)
                   -> ([w1,] proj1)             projections of the dt/2 push
@@ -764,8 +769,9 @@ class FusedStepper:
         """ONE species-fused pallas_call on the full state — (ns, n)
         stacked or flat (ns*n,), see make_substep_call's fn — no
         per-species slicing or output re-stacking (each forced XLA to
-        materialize a state-sized copy per substep; measured ~2x step time
-        at ns=2, docs/performance.md)."""
+        materialize a state-sized copy per substep; the fused layout
+        measures ns=2 per-marker throughput at 1.03x single-species,
+        docs/performance.md multi-species section)."""
         shape = particle_arrays[0].shape
         n = (shape[-1] if len(shape) > 1
              else shape[0] // self.cfg.nspecies)

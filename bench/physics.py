@@ -156,6 +156,11 @@ def main() -> int:
     def emit(row):
         results.append(row)
         print(json.dumps(row), flush=True)
+        if args.out:
+            # incremental write: a crash mid-suite (e.g. a diverging case)
+            # must not lose the completed rows' chip time
+            with open(args.out, "w") as fh:
+                json.dump(results, fh, indent=1)
         return row
 
     def record(case, cfg, gamma_theory, window, peaks_only=False,

@@ -69,9 +69,9 @@ def main():
         jax.random.normal(k, (nrows, 128), jnp.float32) for k in ks[1:]]
 
     def unit_trig(x, salt):
-        w0, w1, out = _trig_block(x + 1e-6 * salt, LX, NX, (1,), jnp.float32)
-        c0, s0, c1, s1 = out[0]
-        return (w0 * c0 + w1 * c1) + (w0 * s0 + w1 * s1)
+        cs = _trig_block(x + 1e-6 * salt, LX, NX, (1,), jnp.float32)
+        c_m, s_m = cs[0]
+        return c_m + s_m
 
     def unit_poly(x, salt):
         t = x * np.float32(1.0 / LX) + 1e-6 * salt

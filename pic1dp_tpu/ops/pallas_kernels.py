@@ -320,7 +320,16 @@ def _sincos_turns_raw(tm):
 
 def _trig_block(x, lx, nx: int, modes, dtype):
     """mode_trig specialized for in-kernel blocks (same math as
-    ops/spectral.mode_trig).  f32 uses the quadrant polynomials above — one
+    ops/spectral.mode_trig), returning the HAT-INTERPOLATED (C_m, S_m) pair
+    per kept mode — the only trig quantities the kernel ever uses (E gather:
+    C*mre - S*mim; deposit projections: val*C, val*S):
+
+        C = w0 cos(th0) + w1 cos(th1) = c0 (1 + w1 (cd - 1)) - s0 (w1 sd)
+
+    folding the hat weights into the neighbor-cell angle-add (cd - 1 is
+    precomputed in f64 — better conditioned than cd for small cell angles —
+    and the fold saves 2 VPU ops per mode vs separate c1/s1 + weights; the
+    kernels are VPU-bound).  f32 uses the quadrant polynomials above — one
     evaluation for the base angle, then the angle-addition recurrence walks
     up to each kept mode (~6 mul-adds per unit of mode number instead of a
     full ~25-op polynomial pair; error grows ~3e-7 per unit, so modes above
@@ -336,7 +345,7 @@ def _trig_block(x, lx, nx: int, modes, dtype):
     # _fast_wrap), so s >= 0; the guard catches the half-ulp case where
     # x just below lx rounds s up to exactly nx
     ix0 = jnp.minimum(ix0, float(nx - 1))
-    w0, w1 = 1.0 - frac, frac
+    w1 = frac
     fast = dtype == jnp.float32
     # PIC1DP_TRIG=1 reverts to the two-floor mod+quadrant chain for A/B runs
     raw = os.environ.get("PIC1DP_TRIG", "2") == "2"
@@ -366,12 +375,12 @@ def _trig_block(x, lx, nx: int, modes, dtype):
     for m in modes:
         step = 2.0 * np.pi * m / nx
         c0, s0 = trig_m[m] if m in trig_m else direct(m)
-        cd = np.asarray(np.cos(step), dtype)  # typed: np.float64 scalars
-        sd = np.asarray(np.sin(step), dtype)  # would promote f32 under x64
-        c1 = c0 * cd - s0 * sd
-        s1 = s0 * cd + c0 * sd
-        out.append((c0, s0, c1, s1))
-    return w0, w1, out
+        cdm1 = np.asarray(np.cos(step) - 1.0, dtype)  # typed: np.float64
+        sd = np.asarray(np.sin(step), dtype)          # scalars would promote
+        a = 1.0 + w1 * cdm1
+        b = w1 * sd
+        out.append((c0 * a - s0 * b, s0 * a + c0 * b))
+    return out
 
 
 def make_substep_call(cfg: Config, substep: int, n: int, *,
@@ -483,15 +492,13 @@ def make_substep_call(cfg: Config, substep: int, n: int, *,
              else 1 + (1 if has_v else 0) + (1 if has_w else 0))
 
     def gather_e(x_at, mre_ref, mim_ref):
-        """Kept-mode E at the two hat neighbors of x_at; also returns the
-        trig so a following deposit at the same positions reuses it."""
-        w0h, w1h, trig = _trig_block(x_at, cfg.lx, cfg.nx, cfg.modes, dtype)
+        """Kept-mode E from the hat-interpolated (C, S) at x_at."""
+        cs = _trig_block(x_at, cfg.lx, cfg.nx, cfg.modes, dtype)
         e = None
-        for i, (c0, s0, c1, s1) in enumerate(trig):
-            term = (w0h * c0 + w1h * c1) * mre_ref[0, i] \
-                 - (w0h * s0 + w1h * s1) * mim_ref[0, i]
+        for i, (c_m, s_m) in enumerate(cs):
+            term = c_m * mre_ref[0, i] - s_m * mim_ref[0, i]
             e = term if e is None else e + term
-        return 2.0 * e, (w0h, w1h, trig)
+        return 2.0 * e
 
     def push(sel, x0, v0, p, w0, v_at, w_at, e_p, dt_eff, dtqm):
         """Reference update ordering x, w, v from the step-start backups with
@@ -534,7 +541,7 @@ def make_substep_call(cfg: Config, substep: int, n: int, *,
 
         if substep == 1:
             # half push from the step-start field
-            e_p0, _ = gather_e(x0, scal[0], scal[1])
+            e_p0 = gather_e(x0, scal[0], scal[1])
             x_new, v_new, w_new = push(sel, x0, v0, p, w0, v0, w0, e_p0,
                                        dt_half, dtqm_h)
             oi = 0
@@ -561,7 +568,7 @@ def make_substep_call(cfg: Config, substep: int, n: int, *,
             if stream_v1:
                 v1 = v1_ref[:]
             elif has_v:
-                e_p0, _ = gather_e(x0, scal[0], scal[1])
+                e_p0 = gather_e(x0, scal[0], scal[1])
                 v1 = v0 + dtqm_h * e_p0
             else:
                 v1 = v0
@@ -570,7 +577,7 @@ def make_substep_call(cfg: Config, substep: int, n: int, *,
                 w1 = _unpack_lo(pw_bits)
             else:
                 w1 = w1_ref[:].astype(dtype) if has_w else w0
-            e_p1, _ = gather_e(x1, scal[-2], scal[-1])
+            e_p1 = gather_e(x1, scal[-2], scal[-1])
             x_new, v_new, w_new = push(sel, x0, v0, p, w0, v1, w1, e_p1,
                                        cfg.dt, dtqm_f)
             out_i = 0
@@ -589,17 +596,17 @@ def make_substep_call(cfg: Config, substep: int, n: int, *,
         # adds) into a VMEM accumulator; the final (8,128) -> scalar
         # reduction happens once, outside the kernel. --
         val = (w_new if cfg.deltaf else p) * deposit_scale
-        w0d, w1d, trigd = _trig_block(x_new, cfg.lx, cfg.nx, cfg.modes, dtype)
+        csd = _trig_block(x_new, cfg.lx, cfg.nx, cfg.modes, dtype)
 
         @pl.when(pl.program_id(0) == 0)
         def _():
             proj_ref[:] = jnp.zeros_like(proj_ref)
 
         r = val.shape[0]
-        for i, (c0, s0, c1, s1) in enumerate(trigd):
-            part_c = jnp.sum((val * (w0d * c0 + w1d * c1))
+        for i, (c_m, s_m) in enumerate(csd):
+            part_c = jnp.sum((val * c_m)
                              .reshape(r // 8, 8, 128), axis=0)
-            part_s = jnp.sum((val * (w0d * s0 + w1d * s1))
+            part_s = jnp.sum((val * s_m)
                              .reshape(r // 8, 8, 128), axis=0)
             proj_ref[2 * i] += part_c
             proj_ref[2 * i + 1] += part_s

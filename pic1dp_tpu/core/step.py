@@ -102,6 +102,24 @@ class Stepper:
                         and self.dtype == jnp.float32
                         and os.environ.get("PIC1DP_BF16_STREAMS") is None
                         and bool(int(os.environ.get("PIC1DP_PACKED", "1"))))
+        if cfg.bf16_weights and cfg.nspecies > 1 and any(
+                abs(s.v0) > 2.0 * (s.temperature / s.mass) ** 0.5
+                for s in cfg.species):
+            # measured limitation (docs/performance.md round 5): the bf16
+            # w1-stream rounding destabilizes the post-saturation vortex
+            # reorganization of strongly shifted multi-species equilibria
+            # (deterministic divergence, dt/seed-independent; f32 and
+            # p-only quantization stable).  Single-species composite
+            # equilibria representing the same physics are unaffected.
+            import warnings
+
+            warnings.warn(
+                "bf16_weights with multiple strongly shifted species "
+                "(|v0| > 2 vth) has a measured post-saturation divergence "
+                "(bf16 w1-stream rounding amplifies the vortex-merging "
+                "transient; docs/performance.md round 5). Use f32, the "
+                "equivalent single-species composite equilibrium, or stop "
+                "before deep saturation.", RuntimeWarning, stacklevel=3)
         # stream the midpoint velocities v1 between the fused substeps
         # instead of recomputing them: +2N HBM floats for one less trig
         # gather chain — the right trade once the kernels are VPU-bound

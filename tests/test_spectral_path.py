@@ -396,6 +396,34 @@ def test_bf16_misaligned_pallas_raises_without_optin():
     assert np.isfinite(np.asarray(out.w)).all()
 
 
+def test_bf16_shifted_multispecies_warns():
+    """bf16_weights + multiple strongly shifted species has a measured
+    post-saturation divergence (docs/performance.md round 5) — Stepper
+    construction must warn; the equivalent composite single-species config
+    must NOT."""
+    import warnings
+
+    from pic1dp_tpu.config import (DepositMethod, Equilibrium, SpeciesConfig,
+                                   two_stream)
+
+    sp = SpeciesConfig(charge=-1.0, mass=1.0, temperature=1.0, density=0.5,
+                       v0=3.0)
+    cfg = dataclasses.replace(
+        two_stream(nparticle=4096, dtype="float32", verbosity=0,
+                   deposit_method=DepositMethod.PALLAS),
+        equilibrium=Equilibrium.MAXWELLIAN,
+        species=(sp, dataclasses.replace(sp, v0=-3.0)),
+        bf16_weights=True).validate()
+    with pytest.warns(RuntimeWarning, match="strongly shifted"):
+        Stepper(cfg)
+    cfg_comp = two_stream(nparticle=4096, dtype="float32", verbosity=0,
+                          deposit_method=DepositMethod.PALLAS,
+                          bf16_weights=True)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        Stepper(cfg_comp)  # composite single-species: no warning
+
+
 def test_f32_config_stays_f32_under_x64():
     """TPU-equivalence guarantee: with jax_enable_x64 on (the CPU test
     environment), a dtype=float32 config must produce float32 state through

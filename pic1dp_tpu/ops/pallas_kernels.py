@@ -220,11 +220,22 @@ def _unpack_lo(bits):
     return jax.lax.bitcast_convert_type(bits << 16, jnp.float32)
 
 
-def _pack_lo(bits_hi, value_f32):
-    """Keep the top half of `bits_hi`, round `value_f32` to bf16 (RTNE,
-    identical to .astype(bfloat16)) into the bottom half."""
+def _pack_lo(bits_hi, value_f32, dither=None):
+    """Keep the top half of `bits_hi`, round `value_f32` to bf16 into the
+    bottom half.  Default rounding is RTNE (identical to .astype(bfloat16)).
+    With `dither` (uint32 random bits, in-kernel pltpu PRNG) the rounding is
+    STOCHASTIC — truncate after adding U[0, 2^16) to the discarded mantissa
+    bits, unbiased with randomized residuals.  Tested against the
+    strongly-shifted two-species post-saturation divergence
+    (docs/performance.md round 5): decorrelating the residuals only DELAYS
+    the onset by ~2 time units — the instability is driven by the w1
+    perturbation MAGNITUDE, not the deterministic residual correlation —
+    so RTNE stays the default and the knob records the negative result."""
     vb = jax.lax.bitcast_convert_type(value_f32, jnp.uint32)
-    vb = (vb + np.uint32(0x7FFF) + ((vb >> 16) & np.uint32(1))) >> 16
+    if dither is not None:
+        vb = (vb + (dither & np.uint32(0xFFFF))) >> 16
+    else:
+        vb = (vb + np.uint32(0x7FFF) + ((vb >> 16) & np.uint32(1))) >> 16
     return jax.lax.bitcast_convert_type((bits_hi & _HI_MASK) | vb,
                                         jnp.float32)
 
@@ -464,6 +475,13 @@ def make_substep_call(cfg: Config, substep: int, n: int, *,
         w1_sd = aux if "w1" in _names else dtype
     else:
         p_sd = w1_sd = aux
+    # PIC1DP_W1_SR=1 (packed layout only): stochastically round the w1
+    # stream with in-kernel PRNG dither instead of RTNE.  Measured against
+    # the strongly-shifted two-species post-saturation divergence: onset
+    # delayed ~2 time units only (the instability responds to the w1
+    # perturbation magnitude, not the residual correlation) — default off,
+    # kept as the recorded experiment (docs/performance.md round 5).
+    w1_sr = packed and bool(int(os.environ.get("PIC1DP_W1_SR", "0")))
     ns = cfg.nspecies
     nrows = n // 128           # rows per species
     rows = _largest_divisor(nrows, max_rows,
@@ -549,7 +567,22 @@ def make_substep_call(cfg: Config, substep: int, n: int, *,
                 # w1 is an intra-step stream (consumed only by substep 2's
                 # drive term), quantized to the stream dtype on store; the
                 # midpoint projections below use the full-precision w_new
-                if packed:
+                if packed and w1_sr:
+                    # per-(step, block) seed: the mode scalars change
+                    # chaotically every step, so their scaled integer
+                    # conversions decorrelate the dither across steps
+                    # (scalar bitcast is not lowerable on Mosaic);
+                    # program_id varies it across blocks
+                    pltpu.prng_seed(
+                        (scal[0][0, 0] * np.float32(1.37e7))
+                        .astype(jnp.int32),
+                        (scal[1][0, 0] * np.float32(2.71e7))
+                        .astype(jnp.int32)
+                        + pl.program_id(0) * np.int32(65537))
+                    rbits = pltpu.prng_random_bits(w_new.shape)
+                    out_refs[oi][:] = _pack_lo(
+                        pw_bits, w_new, dither=rbits.astype(jnp.uint32))
+                elif packed:
                     out_refs[oi][:] = _pack_lo(pw_bits, w_new)
                 else:
                     out_refs[oi][:] = w_new.astype(out_refs[oi].dtype)

@@ -358,6 +358,74 @@ def main() -> int:
                   "error": str(ex), "dtype": dtype, "bf16_weights": True,
                   "backend": backend, "n_markers": cfg_2sp.nparticle_max})
 
+    # --- case 3a2: ION-ACOUSTIC damping — electrons + HEAVY IONS ----------
+    # Two species with genuinely different charge sign, mass, and
+    # temperature (q/m = -1 vs +0.04): the only case that exercises the
+    # fused kernels' per-species dtqm/charge scalar selects with DISTINCT
+    # values on chip (the two-stream species pair shares q/m), and a
+    # physically new regime: the slow quasineutral ion-acoustic wave
+    # (omega ~ k*cs ~ 0.1 omega_pe) Landau-damped on BOTH species.
+    # Parameters: m_i = 25, T_i/T_e = 0.05 -> root 0.09843 - 0.00774j at
+    # k = 0.5 (Z-function, same oracle class).  PHYSICAL (per-species
+    # Gaussian) marker loading — uniform-v loading would waste ions over
+    # +-v_max = 178 ion-thermal widths.  Seed amplitude 3e-4 keeps ion
+    # trapping negligible (omega_b/gamma ~ 0.09; 1e-3 measured +3.2%
+    # gamma depression, 3e-3 +24% — REAL nonlinear shallowing, recorded
+    # round 5); the residual ~2% gamma floor is resonant-ION sampling:
+    # the resonance sits at v_res = omega/k = 4.4 vth_i, where only
+    # ~1e-4 of the physically-loaded ion markers live (the reference's
+    # global-v_max loading has the same limitation).
+    if not on_cpu:  # ~6400 steps of a slow wave: minutes on chip only
+        from pic1dp_tpu.config import Config, MarkerLoading
+
+        k_ia = 0.5
+        n_ia = int(float(os.environ.get("PIC1DP_PHYSICS_N_IA", 2**23)))
+        n_ia = (n_ia + 2047) // 2048 * 2048
+        cfg_ia = Config(
+            linear=False, deltaf=True, lx=2.0 * np.pi / k_ia,
+            equilibrium=Equilibrium.MAXWELLIAN,
+            species=(SpeciesConfig(charge=-1.0, mass=1.0, temperature=1.0,
+                                   density=1.0, v0=0.0),
+                     SpeciesConfig(charge=1.0, mass=25.0, temperature=0.05,
+                                   density=1.0, v0=0.0)),
+            nx=64, nparticle_max=n_ia, time_max=320.0, dt=0.05,
+            marker=MarkerLoading.PHYSICAL, v_max=8.0,
+            modes=(1,), init_modes=(1,), init_amp_cos=(0.0,),
+            init_amp_sin=(3e-4,), output_interval=1.0, verbosity=0,
+            dtype=dtype).validate()
+        d_ia = Dispersion(species_for_config(cfg_ia), k_ia)
+        d_ia._guesses = [0.098 - 0.008j, 0.118 - 0.010j, 0.078 - 0.006j]
+        om_ia = d_ia.solve_omega()
+        log(f"ion-acoustic theory: omega = {om_ia:.6g}")
+        t, e, wall, (zre, zim) = _run_case(cfg_ia, want_modes=True)
+        # window: past the Langmuir-branch ringdown (damped by t ~ 40 at
+        # k lambda_De = 0.5), spanning ~2 ion-acoustic damping times
+        ia_win = (60.0, 300.0)
+        fit = fit_mode_omega(t, zre[0], zim[0], window=ia_win)
+        vth_i = float(np.sqrt(0.05 / 25.0))
+        v_res = abs(om_ia.real) / k_ia
+        from math import erf
+
+        res_frac = 0.5 * (erf((v_res + vth_i) / (np.sqrt(2) * vth_i))
+                          - erf((v_res - vth_i) / (np.sqrt(2) * vth_i)))
+        emit({"case": "ion_acoustic_k0.5_mi25",
+              "gamma_sim": fit.imag, "gamma_theory": om_ia.imag,
+              "rel_err": abs(fit.imag - om_ia.imag) / abs(om_ia.imag),
+              "omega_sim": fit.real, "omega_theory": abs(om_ia.real),
+              "omega_rel_err": abs(fit.real - abs(om_ia.real))
+              / abs(om_ia.real),
+              "fit": f"fit_mode_omega window {ia_win}",
+              "gamma_floor_note": (
+                  "resonant-ion sampling floor: v_res = 4.4 vth_i, "
+                  f"fraction of ion markers within +-vth_i of resonance = "
+                  f"{res_frac:.1e}; measured amplitude scan (3e-3/1e-3/"
+                  "3e-4 seeds -> +24%/+3.2%/+2.3% gamma deviation) pins "
+                  "the nonlinear-trapping part; omega_b/gamma ~ 0.09 here"),
+              "resonant_ion_marker_fraction": res_frac,
+              "nspecies": 2, "marker": "physical", "dtype": dtype,
+              "bf16_weights": False, "backend": backend,
+              "n_markers": n_ia, "wall_s": round(wall, 2)})
+
     # --- case 3b: FULL-F two-stream (deltaf=False) + energy conservation --
     # The reference treats full-f as a first-class mode (input_ideltaf,
     # src/pic1dp_input.F90:104-106; full-f deposition branch

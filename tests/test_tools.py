@@ -297,3 +297,21 @@ def test_fit_mode_omega_synthetic():
     om = fit_mode_omega(t, zg.real, zg.imag, window=(0.0, 14.0))
     assert abs(om.imag - g2) / g2 < 1e-8
     assert abs(om.real) < 1e-8
+
+
+def test_ion_acoustic_dispersion_root():
+    """Electron + heavy-ion (m_i = 25, T_i/T_e = 0.05) kinetic dispersion:
+    the ion-acoustic root at k = 0.5 from the same Z-function/Muller oracle
+    that anchors the on-chip ion_acoustic_k0.5_mi25 physics row.  Golden
+    value cross-checked against omega ~ k cs/sqrt(1 + k^2 lambda_De^2) with
+    kinetic corrections (cs = sqrt(Te/mi) = 0.2)."""
+    from pic1dp_tpu.analysis.dispersion import Dispersion, Species
+
+    d = Dispersion([Species(-1, 1, 1, 1, 0), Species(1, 25, 0.05, 1, 0)],
+                   0.5)
+    d._guesses = [0.098 - 0.008j, 0.118 - 0.010j, 0.078 - 0.006j]
+    om = d.solve_omega()
+    assert abs(om - (0.09842574923689 - 0.00773636470953j)) < 1e-9
+    # fluid estimate sanity: omega_r within 15% of k cs / sqrt(1 + k^2)
+    fluid = 0.5 * 0.2 / (1 + 0.25) ** 0.5
+    assert abs(om.real - fluid) / fluid < 0.15

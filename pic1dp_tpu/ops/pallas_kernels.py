@@ -9,20 +9,20 @@ ordering (x, then w with the analytic -f0'/f0, then v; reference
 src/pic1dp_interaction.F90:238-339), and the mode-projection deposit at the
 new positions — in one pass with every intermediate living in VMEM/registers.
 
-HBM traffic is exactly the particle state streams, balanced against the
-VPU so each substep stays DMA-bound with its compute fully hidden.  The
-midpoint positions and velocities never touch HBM: substep 2 recomputes
-x1 = wrap(x0 + dt/2 v0) and v1 = v0 + dt/2 (q/m) E0(x0) in-register
-(bitwise identical — same expressions, same dtype, shared code, E0 from
-the step-start mode scalars).  Only the midpoint WEIGHTS w1 are streamed:
-recomputing them too would add a -f0'/f0 evaluation + full drive chain to
-substep 2 and tip it from DMA-bound to compute-bound (measured: the
-recompute-everything 11N-float variant runs ~5% SLOWER than this 13N one
-at 2^26 markers, and the stream-everything 15N/17N variants ~4%/~12%
-slower).  For the nonlinear delta-f case:
+HBM traffic is exactly the particle state streams.  The kernels are
+VPU-BOUND on the per-marker trig chains, not DMA-bound (round-5 probes:
+the in-place aliased stream pattern alone runs ~830 GB/s while the full
+kernels sit ~35% above their DMA floor; docs/performance.md round-5
+section) — which is why the midpoint streams are chosen to MINIMIZE
+COMPUTE, not bytes: the midpoint positions never touch HBM (substep 2
+recomputes x1 = wrap(x0 + dt/2 v0) in-register, bitwise identical), while
+the midpoint weights w1 AND velocities v1 are streamed — recomputing v1
+would re-run a gather trig chain (measured slower than its +2 N stream
+floats), and recomputing w1 would add the -f0'/f0 drive chain on top.
+For the nonlinear delta-f case (stream_v1, the default):
 
-    substep 1:  read x0, v0, p, w0        write w1           (5 N floats)
-    substep 2:  read x0, v0, p, w0, w1    write x2, v2, w2   (8 N floats)
+    substep 1:  read x0, v0, p, w0            write w1, v1       (6 N)
+    substep 2:  read x0, v0, p, w0, w1, v1    write x2, v2, w2   (8 N)
 
 Linear mode freezes v (no v stream, no v1 recompute, no step-start gather
 in substep 2); full-f never updates w (no w streams at all).  The

@@ -396,6 +396,37 @@ def test_bf16_misaligned_pallas_raises_without_optin():
     assert np.isfinite(np.asarray(out.w)).all()
 
 
+def test_stacked_carry_knob_matches_flat():
+    """PIC1DP_FLAT_CARRY=0 (the multispecies-bench A/B knob that keeps the
+    stacked (ns, N) scan carry) must be physics-identical to the default
+    flat (ns*N,) carry — the 2.71x difference is layout cost only."""
+    import os
+
+    from pic1dp_tpu.config import DepositMethod, Equilibrium, SpeciesConfig
+
+    sp = SpeciesConfig(charge=-1.0, mass=1.0, temperature=1.0, density=0.5,
+                       v0=2.0)
+    from pic1dp_tpu.config import bump_on_tail_default as _bot
+
+    cfg = dataclasses.replace(
+        _bot(nx=64, nparticle_max=2048, dtype="float32",
+             deposit_method=DepositMethod.PALLAS, verbosity=0),
+        equilibrium=Equilibrium.MAXWELLIAN,
+        species=(sp, dataclasses.replace(sp, v0=-2.0))).validate()
+    st = Stepper(cfg)
+    state = st.initial_field(load_particles(cfg, jax.random.PRNGKey(3)))
+    a = st.make_multi_step(3)(state)
+    os.environ["PIC1DP_FLAT_CARRY"] = "0"
+    try:
+        b = Stepper(cfg).make_multi_step(3)(state)
+    finally:
+        del os.environ["PIC1DP_FLAT_CARRY"]
+    for field in ("x", "v", "w", "mode_re", "mode_im"):
+        np.testing.assert_array_equal(np.asarray(getattr(a, field)),
+                                      np.asarray(getattr(b, field)),
+                                      err_msg=field)
+
+
 def test_bf16_shifted_multispecies_warns():
     """bf16_weights + multiple strongly shifted species has a measured
     post-saturation divergence (docs/performance.md round 5) — Stepper

@@ -30,7 +30,6 @@ equivalent of the reference's replicate-and-MPI_Allreduce deposition
 from __future__ import annotations
 
 import functools
-from typing import Callable
 
 import jax
 import jax.numpy as jnp

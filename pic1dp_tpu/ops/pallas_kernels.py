@@ -56,7 +56,6 @@ unaffected).
 
 from __future__ import annotations
 
-import functools
 import math
 
 import jax
@@ -67,7 +66,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 from pic1dp_tpu import distributions as dist
 from pic1dp_tpu.config import Config
-from pic1dp_tpu.ops.interp import wrap_x
 
 
 def _make_sel(sid, ns: int):
